@@ -1,0 +1,244 @@
+"""Top-level rendering API: ``rasterization()``.
+
+TPU-native equivalent of the reference entry point
+(/root/reference/gsplat/rendering.py:28): projection -> SH -> tile binning ->
+pixel rasterization, returning (render_colors, render_alphas, meta).
+
+Key design departures (all static-shape / jit-friendly):
+  * no "packed" variant — dense [C, N] with a radii==0 mask plus a fixed
+    ``isect_capacity`` intersection buffer replaces the reference's dynamic
+    [nnz] tensors;
+  * the rasterizer backend is selectable: "pallas" (TPU tile kernel, the
+    production path) or "reference" (pure-jnp oracle, O(C*N*H*W) memory — for
+    tests and tiny scenes);
+  * everything composes under ``jax.jit`` / ``jax.grad`` / ``shard_map``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gscodec_studio_tpu.ops.projection import fully_fused_projection
+from gscodec_studio_tpu.ops.sh import spherical_harmonics
+from gscodec_studio_tpu.ops.isect import isect_tiles, isect_offset_encode
+from gscodec_studio_tpu.ops.rasterize_ref import rasterize_to_pixels_ref
+
+RENDER_MODES = ("RGB", "D", "ED", "RGB+D", "RGB+ED")
+
+
+def _default_isect_capacity(C: int, N: int) -> int:
+    """Heuristic static capacity for the intersection buffer: ~8 tiles per
+    visible Gaussian, rounded up to a multiple of 1024."""
+    cap = max(C * N * 8, 1 << 16)
+    return ((cap + 1023) // 1024) * 1024
+
+
+def rasterization(
+    means: jnp.ndarray,  # [N, 3]
+    quats: jnp.ndarray,  # [N, 4]
+    scales: jnp.ndarray,  # [N, 3] (linear, i.e. already exp'ed)
+    opacities: jnp.ndarray,  # [N] (linear, i.e. already sigmoided)
+    colors: jnp.ndarray,  # [(C,) N, D] or [(C,) N, K, 3] SH coefficients
+    viewmats: jnp.ndarray,  # [C, 4, 4]
+    Ks: jnp.ndarray,  # [C, 3, 3]
+    width: int,
+    height: int,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    eps2d: float = 0.3,
+    sh_degree: Optional[int] = None,
+    tile_size: int = 16,
+    backgrounds: Optional[jnp.ndarray] = None,  # [C, D]
+    render_mode: str = "RGB",
+    rasterize_mode: str = "classic",  # or "antialiased"
+    camera_model: str = "pinhole",
+    isect_capacity: Optional[int] = None,
+    channel_chunk: int = 32,
+    rasterizer: str = "pallas",
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+    """Differentiable batched splat rendering (reference rendering.py:28-890).
+
+    Returns (render_colors [C,H,W,X], render_alphas [C,H,W,1], meta). X follows
+    ``render_mode``: RGB -> D, D/ED -> 1, RGB+D/RGB+ED -> D+1.
+
+    ``colors`` may be per-camera ([C,N,D]) or shared ([N,D]); with
+    ``sh_degree`` set they are SH coefficients [(C,)N,K,3] evaluated along the
+    camera->gaussian direction.
+    """
+    C = viewmats.shape[0]
+    N = means.shape[0]
+    assert render_mode in RENDER_MODES, render_mode
+    assert rasterize_mode in ("classic", "antialiased"), rasterize_mode
+
+    calc_compensations = rasterize_mode == "antialiased"
+    radii, means2d, depths, conics, compensations = fully_fused_projection(
+        means,
+        None,
+        quats,
+        scales,
+        viewmats,
+        Ks,
+        width,
+        height,
+        eps2d=eps2d,
+        near_plane=near_plane,
+        far_plane=far_plane,
+        radius_clip=radius_clip,
+        calc_compensations=calc_compensations,
+        camera_model=camera_model,
+    )
+    opacities_cn = jnp.broadcast_to(opacities[None, :], (C, N))
+    if compensations is not None:
+        opacities_cn = opacities_cn * compensations
+
+    # Color preparation (rendering.py:352-392).
+    if sh_degree is None:
+        # colors: [N, D] or [C, N, D]
+        if colors.ndim == 2:
+            colors_cn = jnp.broadcast_to(colors[None], (C, N, colors.shape[-1]))
+        else:
+            colors_cn = colors
+    else:
+        campos = -jnp.einsum("cij,ci->cj", viewmats[:, :3, :3], viewmats[:, :3, 3])
+        dirs = means[None, :, :] - campos[:, None, :]  # [C, N, 3]
+        shs = colors if colors.ndim == 4 else jnp.broadcast_to(
+            colors[None], (C,) + colors.shape
+        )
+        colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=radii > 0)
+        colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)  # Inria parity
+
+    # Depth rendering modes (rendering.py:481-492).
+    if render_mode in ("D", "ED"):
+        colors_cn = depths[..., None]
+        backgrounds_used = None
+    elif render_mode in ("RGB+D", "RGB+ED"):
+        colors_cn = jnp.concatenate([colors_cn, depths[..., None]], axis=-1)
+        backgrounds_used = (
+            None
+            if backgrounds is None
+            else jnp.concatenate(
+                [backgrounds, jnp.zeros((C, 1), backgrounds.dtype)], axis=-1
+            )
+        )
+    else:
+        backgrounds_used = backgrounds
+
+    # Tile binning.
+    tile_width = -(-width // tile_size)
+    tile_height = -(-height // tile_size)
+    if isect_capacity is None:
+        isect_capacity = _default_isect_capacity(C, N)
+    tiles_per_gauss, tile_keys, isect_depths, flatten_ids, n_isects = isect_tiles(
+        means2d, radii, depths, tile_size, tile_width, tile_height, isect_capacity
+    )
+    tile_offsets = isect_offset_encode(tile_keys, C, tile_width, tile_height)
+
+    # Pixel rasterization, chunked when channels exceed channel_chunk
+    # (rendering.py:528-556).
+    D = colors_cn.shape[-1]
+    chunks = []
+    alphas = None
+    for lo in range(0, D, channel_chunk):
+        cols = colors_cn[..., lo : lo + channel_chunk]
+        bgs = (
+            None
+            if backgrounds_used is None
+            else backgrounds_used[..., lo : lo + channel_chunk]
+        )
+        img, alphas = _rasterize_backend(
+            rasterizer,
+            means2d,
+            conics,
+            cols,
+            opacities_cn,
+            depths,
+            radii,
+            tile_keys,
+            flatten_ids,
+            tile_offsets,
+            width,
+            height,
+            tile_size,
+            bgs,
+        )
+        chunks.append(img)
+    render_colors = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, -1)
+    render_alphas = alphas
+
+    if render_mode in ("ED", "RGB+ED"):
+        # Normalize expected depth by alpha (rendering.py:572-580).
+        d = render_colors[..., -1:] / jnp.clip(render_alphas, 1e-10, None)
+        render_colors = jnp.concatenate([render_colors[..., :-1], d], axis=-1)
+
+    meta = dict(
+        radii=radii,
+        means2d=means2d,
+        depths=depths,
+        conics=conics,
+        opacities=opacities_cn,
+        tiles_per_gauss=tiles_per_gauss,
+        tile_keys=tile_keys,
+        flatten_ids=flatten_ids,
+        tile_offsets=tile_offsets,
+        n_isects=n_isects,
+        compensations=compensations,
+        width=width,
+        height=height,
+        tile_width=tile_width,
+        tile_height=tile_height,
+        tile_size=tile_size,
+        n_cameras=C,
+    )
+    return render_colors, render_alphas, meta
+
+
+def _rasterize_backend(
+    rasterizer,
+    means2d,
+    conics,
+    colors,
+    opacities,
+    depths,
+    radii,
+    tile_keys,
+    flatten_ids,
+    tile_offsets,
+    width,
+    height,
+    tile_size,
+    backgrounds,
+):
+    if rasterizer == "reference":
+        return rasterize_to_pixels_ref(
+            means2d,
+            conics,
+            colors,
+            opacities,
+            depths,
+            radii,
+            width,
+            height,
+            tile_size,
+            backgrounds,
+        )
+    elif rasterizer == "pallas":
+        from gscodec_studio_tpu.ops.rasterize_pallas import rasterize_to_pixels
+
+        return rasterize_to_pixels(
+            means2d,
+            conics,
+            colors,
+            opacities,
+            flatten_ids,
+            tile_offsets,
+            width,
+            height,
+            tile_size,
+            backgrounds,
+        )
+    raise ValueError(f"unknown rasterizer {rasterizer!r}")

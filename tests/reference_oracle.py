@@ -1,0 +1,33 @@
+"""Loader for the upstream pure-torch oracle (test-time only).
+
+If /root/reference is mounted, load gsplat/cuda/_torch_impl.py directly by
+path (it is self-contained: torch-only at import time). Tests that compare
+against it skip gracefully when the reference isn't available, keeping this
+repo standalone.
+"""
+
+import importlib.util
+import os
+
+REF_TORCH_IMPL = "/root/reference/gsplat/cuda/_torch_impl.py"
+REF_TORCH_IMPL_2DGS = "/root/reference/gsplat/cuda/_torch_impl_2dgs.py"
+
+
+def _load(path, name):
+    if not os.path.exists(path):
+        return None
+    try:
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except Exception:
+        return None
+
+
+def get_torch_impl():
+    return _load(REF_TORCH_IMPL, "ref_torch_impl")
+
+
+def get_torch_impl_2dgs():
+    return _load(REF_TORCH_IMPL_2DGS, "ref_torch_impl_2dgs")
