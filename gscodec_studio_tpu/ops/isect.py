@@ -19,12 +19,35 @@ All outputs are non-differentiable (indices), matching the reference.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+class Intersections(NamedTuple):
+    """Sorted tile-intersection list (static capacity).
+
+    tiles_per_gauss: [C, N] int32
+    tile_keys:       [cap] int32, cam*TH*TW + tile, sorted; INT32_MAX padding
+    depths:          [cap] f32 (sorted secondary key)
+    flatten_ids:     [cap] int32, cam*N + gauss per sorted entry
+    n_isects:        scalar int32 (true count clamped to cap)
+    exp_offsets:     [C*N + 1] int32 — start of each (cam,gauss)'s contiguous
+                     run in *expansion* (pre-sort) order; used by the
+                     rasterizer VJP for a scatter-free segment reduction
+    inv_perm:        [cap] int32 — expansion position -> sorted position
+    """
+
+    tiles_per_gauss: jnp.ndarray
+    tile_keys: jnp.ndarray
+    depths: jnp.ndarray
+    flatten_ids: jnp.ndarray
+    n_isects: jnp.ndarray
+    exp_offsets: jnp.ndarray
+    inv_perm: jnp.ndarray
 
 
 def isect_tiles(
@@ -35,9 +58,8 @@ def isect_tiles(
     tile_width: int,
     tile_height: int,
     capacity: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (tiles_per_gauss [C,N] i32, tile_keys [cap] i32,
-    isect_depths [cap] f32, flatten_ids [cap] i32, n_isects scalar i32).
+) -> Intersections:
+    """Bin Gaussians to tiles; see :class:`Intersections`.
 
     ``tile_keys[i] = cam_id * (TH*TW) + tile_id`` for valid entries, INT32_MAX
     for padding; entries are sorted by (tile_key, depth) ascending.
@@ -85,11 +107,92 @@ def isect_tiles(
     flatten_ids = jnp.where(valid, src, 0)
 
     # Lexicographic sort on (tile_key, depth); padding (INT32_MAX) goes last.
-    tile_keys, isect_depths, flatten_ids = jax.lax.sort(
-        (tile_keys, isect_depths, flatten_ids), num_keys=2
+    # ``pos`` rides along so we can invert the permutation for the VJP's
+    # scatter-free segment reduction.
+    tile_keys, isect_depths, flatten_ids, sorted_pos = jax.lax.sort(
+        (tile_keys, isect_depths, flatten_ids, pos), num_keys=2
     )
     n_isects = jnp.minimum(total, capacity).astype(jnp.int32)
-    return tiles_per_gauss, tile_keys, isect_depths, flatten_ids, n_isects
+
+    # inv_perm[expansion position] = sorted position (a permutation scatter —
+    # unique indices, fast on TPU).
+    inv_perm = (
+        jnp.zeros((capacity,), jnp.int32)
+        .at[sorted_pos]
+        .set(pos, unique_indices=True, indices_are_sorted=False)
+    )
+    exp_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.minimum(cum, capacity).astype(jnp.int32)]
+    )
+    return Intersections(
+        tiles_per_gauss,
+        tile_keys,
+        isect_depths,
+        flatten_ids,
+        n_isects,
+        exp_offsets,
+        inv_perm,
+    )
+
+
+class AlignedIsects(NamedTuple):
+    """Tile-aligned view of the sorted intersection list for the Pallas
+    rasterizer: every tile's run is padded to a multiple of ``align`` entries
+    so the kernel's chunk DMAs are hardware-aligned (last-dim 128 tiling) and
+    backward writes are exactly collision-free.
+
+    ids:        [cap2] int32, cam*N + gauss per aligned slot (padding slots
+                hold 0 and are masked by ``ends``)
+    starts:     [T] int32 aligned start of each tile's run (multiple of align)
+    ends:       [T] int32 true (unpadded) end of each tile's run
+    inv_perm:   [cap] int32 expansion position -> aligned position
+    n_isects:   scalar int32
+    """
+
+    ids: jnp.ndarray
+    starts: jnp.ndarray
+    ends: jnp.ndarray
+    inv_perm: jnp.ndarray
+    n_isects: jnp.ndarray
+
+
+def align_isects(
+    isect: Intersections,
+    C: int,
+    tile_width: int,
+    tile_height: int,
+    align: int = 128,
+) -> AlignedIsects:
+    """Re-lay the sorted intersection list with per-tile runs padded to
+    ``align`` entries (static capacity cap2 = cap + T*align, rounded up)."""
+    cap = isect.tile_keys.shape[0]
+    T = C * tile_width * tile_height
+    offsets = isect_offset_encode(isect.tile_keys, C, tile_width, tile_height)
+    lens = offsets[1:] - offsets[:-1]  # [T]
+    plens = ((lens + align - 1) // align) * align
+    astarts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(plens).astype(jnp.int32)]
+    )  # [T+1]
+    cap2 = ((cap + T * align) // align + 2) * align
+
+    j = jnp.arange(cap, dtype=jnp.int32)
+    valid = j < isect.n_isects
+    tkey = jnp.where(valid, isect.tile_keys, 0)
+    new_pos = astarts[tkey] + (j - offsets[tkey])
+    new_pos = jnp.where(valid, new_pos, cap2 - 1)
+    ids = (
+        jnp.zeros((cap2,), jnp.int32)
+        .at[new_pos]
+        .set(isect.flatten_ids, unique_indices=False)
+    )
+    inv_perm = jnp.take(new_pos, isect.inv_perm)
+    return AlignedIsects(
+        ids=ids,
+        starts=astarts[:-1],
+        ends=astarts[:-1] + lens,
+        inv_perm=inv_perm,
+        n_isects=isect.n_isects,
+    )
 
 
 def isect_offset_encode(

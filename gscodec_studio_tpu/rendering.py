@@ -133,10 +133,10 @@ def rasterization(
     tile_height = -(-height // tile_size)
     if isect_capacity is None:
         isect_capacity = _default_isect_capacity(C, N)
-    tiles_per_gauss, tile_keys, isect_depths, flatten_ids, n_isects = isect_tiles(
+    isect = isect_tiles(
         means2d, radii, depths, tile_size, tile_width, tile_height, isect_capacity
     )
-    tile_offsets = isect_offset_encode(tile_keys, C, tile_width, tile_height)
+    tile_offsets = isect_offset_encode(isect.tile_keys, C, tile_width, tile_height)
 
     # Pixel rasterization, chunked when channels exceed channel_chunk
     # (rendering.py:528-556).
@@ -158,8 +158,7 @@ def rasterization(
             opacities_cn,
             depths,
             radii,
-            tile_keys,
-            flatten_ids,
+            isect,
             tile_offsets,
             width,
             height,
@@ -181,11 +180,11 @@ def rasterization(
         depths=depths,
         conics=conics,
         opacities=opacities_cn,
-        tiles_per_gauss=tiles_per_gauss,
-        tile_keys=tile_keys,
-        flatten_ids=flatten_ids,
+        tiles_per_gauss=isect.tiles_per_gauss,
+        tile_keys=isect.tile_keys,
+        flatten_ids=isect.flatten_ids,
         tile_offsets=tile_offsets,
-        n_isects=n_isects,
+        n_isects=isect.n_isects,
         compensations=compensations,
         width=width,
         height=height,
@@ -205,8 +204,7 @@ def _rasterize_backend(
     opacities,
     depths,
     radii,
-    tile_keys,
-    flatten_ids,
+    isect,
     tile_offsets,
     width,
     height,
@@ -234,7 +232,7 @@ def _rasterize_backend(
             conics,
             colors,
             opacities,
-            flatten_ids,
+            isect,
             tile_offsets,
             width,
             height,

@@ -1,0 +1,231 @@
+"""Slot-based densification primitives (static shapes).
+
+TPU re-design of the reference's strategy ops
+(/root/reference/gsplat/strategy/ops.py: duplicate/split/remove/reset_opa/
+relocate/sample_add/inject_noise_to_position). The reference reallocates
+tensors and rebuilds optimizer state on every refine; here the splat arrays
+have a fixed capacity ``cap`` and dead slots are recycled, so every op is a
+pure jit-compatible function — densification never triggers recompilation.
+
+Optimizer-state surgery: ops accept ``opt_states`` = {param_name: optax
+state}; every leaf whose leading dim equals cap (Adam mu/nu etc.) gets the
+same slot updates as the params, with new Gaussians zeroed — mirroring
+``_update_param_with_optimizer`` (strategy/ops.py:48-96).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gscodec_studio_tpu.models.splats import DEAD_OPACITY_LOGIT
+from gscodec_studio_tpu.ops.quat import quat_to_rotmat
+from gscodec_studio_tpu.ops.relocation import compute_relocation
+
+Params = Dict[str, jnp.ndarray]
+OptStates = Dict[str, object]
+
+
+def _map_cap_leaves(state, cap: int, fn: Callable):
+    """Apply fn to every array leaf with leading dim == cap (the per-Gaussian
+    moments); leave step counters etc. untouched."""
+
+    def go(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
+            return fn(x)
+        return x
+
+    return jax.tree_util.tree_map(go, state)
+
+
+def map_opt_states(opt_states: OptStates, cap: int, fn: Callable) -> OptStates:
+    return {k: _map_cap_leaves(v, cap, fn) for k, v in opt_states.items()}
+
+
+def allocate_slots(free: jnp.ndarray, want: jnp.ndarray):
+    """Assign the k-th wanting slot to the k-th free slot.
+
+    Returns (dst [cap] int32 — target slot per wanting source, or cap when no
+    free slot remains; ok [cap] bool — wants that got a slot).
+    """
+    cap = free.shape[0]
+    free_idx = jnp.argsort(~free)  # stable: free slots first, in index order
+    n_free = jnp.sum(free)
+    rank = jnp.cumsum(want) - 1
+    ok = want & (rank < n_free)
+    dst = jnp.where(ok, free_idx[jnp.clip(rank, 0, cap - 1)], cap)
+    return dst.astype(jnp.int32), ok
+
+
+def scatter_rows(x: jnp.ndarray, dst: jnp.ndarray, values: jnp.ndarray):
+    """x.at[dst].set(values) with dst==cap meaning 'drop' (via a pad row)."""
+    pad = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    out = jnp.concatenate([x, pad], axis=0).at[dst].set(values)
+    return out[:-1]
+
+
+def _row_mask(mask, x):
+    return mask.reshape((mask.shape[0],) + (1,) * (x.ndim - 1))
+
+
+def copy_to_slots(params: Params, opt_states: OptStates, dst) -> Tuple[Params, OptStates]:
+    """Duplicate: write every row into its destination slot (dst==cap drops);
+    destination opt state is zeroed (strategy/ops.py duplicate:99-129)."""
+    cap = dst.shape[0]
+    params = {k: scatter_rows(v, dst, v) for k, v in params.items()}
+    opt_states = map_opt_states(
+        opt_states, cap, lambda x: scatter_rows(x, dst, jnp.zeros_like(x))
+    )
+    return params, opt_states
+
+
+def split_to_slots(
+    params: Params,
+    opt_states: OptStates,
+    sel: jnp.ndarray,  # [cap] bool — gaussians to split
+    dst: jnp.ndarray,  # [cap] int32 — free slot for the second child
+    key: jax.Array,
+    revised_opacity: bool = False,
+) -> Tuple[Params, OptStates]:
+    """Split each selected Gaussian into two (strategy/ops.py split:131-196):
+    children sampled from the parent's covariance, scales /1.6. Child 1
+    overwrites the parent slot; child 2 goes to the free slot ``dst``."""
+    cap = sel.shape[0]
+    scales = jnp.exp(params["scales"])  # [cap, 3]
+    R = quat_to_rotmat(params["quats"])  # [cap, 3, 3]
+    samples = jax.random.normal(key, (2, cap, 3)) * scales[None]
+    offsets = jnp.einsum("nij,snj->sni", R, samples)  # [2, cap, 3]
+    new_means = params["means"][None] + offsets
+    new_scales = jnp.log(scales / 1.6)
+
+    if revised_opacity:
+        op = jax.nn.sigmoid(params["opacities"])
+        new_op = 1.0 - jnp.sqrt(jnp.clip(1.0 - op, 1e-12, 1.0))
+        new_logit = jnp.log(new_op / jnp.clip(1.0 - new_op, 1e-12, 1.0))
+    else:
+        new_logit = params["opacities"]
+
+    # Child 1 in place; parent opt state zeroed.
+    params = dict(params)
+    params["means"] = jnp.where(sel[:, None], new_means[0], params["means"])
+    params["scales"] = jnp.where(sel[:, None], new_scales, params["scales"])
+    params["opacities"] = jnp.where(sel, new_logit, params["opacities"])
+    opt_states = map_opt_states(
+        opt_states, cap, lambda x: jnp.where(_row_mask(sel, x), 0.0, x)
+    )
+
+    # Child 2 to the free slots.
+    child2 = dict(params)
+    child2["means"] = new_means[1]
+    child2["scales"] = new_scales
+    child2["opacities"] = new_logit
+    params = {k: scatter_rows(v, dst, child2[k]) for k, v in params.items()}
+    opt_states = map_opt_states(
+        opt_states, cap, lambda x: scatter_rows(x, dst, jnp.zeros_like(x))
+    )
+    return params, opt_states
+
+
+def remove_slots(params: Params, opt_states: OptStates, kill: jnp.ndarray):
+    """Prune: mark slots dead (opacity -> DEAD logit); dead slots are
+    invisible and reusable (replaces strategy/ops.py remove:199-228's
+    physical deletion)."""
+    cap = kill.shape[0]
+    params = dict(params)
+    params["opacities"] = jnp.where(kill, DEAD_OPACITY_LOGIT, params["opacities"])
+    opt_states = map_opt_states(
+        opt_states, cap, lambda x: jnp.where(_row_mask(kill, x), 0.0, x)
+    )
+    return params, opt_states
+
+
+def reset_opacities(params: Params, opt_states: OptStates, value: float, alive):
+    """Clamp live opacities to ``value``; reset only the opacities
+    optimizer's moments (strategy/ops.py reset_opa:231-258)."""
+    cap = alive.shape[0]
+    logit = jnp.log(value / (1 - value))
+    params = dict(params)
+    params["opacities"] = jnp.where(
+        alive, jnp.minimum(params["opacities"], logit), params["opacities"]
+    )
+    opt_states = dict(opt_states)
+    if "opacities" in opt_states:
+        opt_states["opacities"] = _map_cap_leaves(
+            opt_states["opacities"], cap, jnp.zeros_like
+        )
+    return params, opt_states
+
+
+def relocate_dead(
+    params: Params,
+    opt_states: OptStates,
+    key: jax.Array,
+    dead: jnp.ndarray,  # [cap] bool — slots to teleport
+    min_opacity: float = 0.005,
+    binoms_n_max: int = 51,
+) -> Tuple[Params, OptStates]:
+    """MCMC relocation (strategy/ops.py relocate:261-330 + sample_add):
+    each ``dead`` slot is teleported onto a live Gaussian sampled by opacity;
+    source and clones share opacity 1-(1-o)^(1/ratio) and Eq.9-shrunk scales.
+    """
+    cap = params["opacities"].shape[0]
+    op = jax.nn.sigmoid(params["opacities"])
+    alive = ~dead
+
+    logits = jnp.where(alive, jnp.log(jnp.clip(op, 1e-12, 1.0)), -jnp.inf)
+    sampled = jax.random.categorical(key, logits, shape=(cap,))  # [cap]
+    counts = (
+        jnp.zeros(cap + 1, jnp.int32)
+        .at[jnp.where(dead, sampled, cap)]
+        .add(1)[:cap]
+    )
+    ratios = jnp.clip(counts + 1, 1, binoms_n_max)
+
+    new_op, new_scales = compute_relocation(
+        jnp.clip(op, min_opacity, 1.0), jnp.exp(params["scales"]), ratios,
+        binoms_n_max,
+    )
+    new_op = jnp.clip(new_op, 1e-7, 1 - 1e-7)
+    new_logit = jnp.log(new_op / (1 - new_op))
+    new_log_scales = jnp.log(jnp.clip(new_scales, 1e-20, None))
+
+    was_sampled = counts > 0
+    params = dict(params)
+    params["opacities"] = jnp.where(was_sampled, new_logit, params["opacities"])
+    params["scales"] = jnp.where(
+        was_sampled[:, None], new_log_scales, params["scales"]
+    )
+
+    # Dead slots become clones of their (post-update) sampled source.
+    def clone(x):
+        return jnp.where(_row_mask(dead, x), jnp.take(x, sampled, axis=0), x)
+
+    params = {k: clone(v) for k, v in params.items()}
+    touched = dead | was_sampled
+    opt_states = map_opt_states(
+        opt_states, cap, lambda x: jnp.where(_row_mask(touched, x), 0.0, x)
+    )
+    return params, opt_states
+
+
+def inject_noise_to_position(
+    params: Params, key: jax.Array, lr: float, scaler: float = 5e5,
+    min_opacity: float = 0.005,
+) -> Params:
+    """MCMC exploration noise (strategy/ops.py inject_noise_to_position:
+    360-386): covariance-shaped Gaussian noise scaled by lr*scaler, gated off
+    for opaque splats via sigmoid(-k*(op - x0)), k=100, x0=0.995."""
+    op = jax.nn.sigmoid(params["opacities"])
+    op_gate = jax.nn.sigmoid(-100.0 * (op - 0.995))
+    R = quat_to_rotmat(params["quats"])
+    scales = jnp.exp(params["scales"])
+    noise = jax.random.normal(key, params["means"].shape)
+    shaped = jnp.einsum("nij,nj->ni", R, scales * noise)  # covar^(1/2) n
+    alive = op > min_opacity
+    out = dict(params)
+    out["means"] = params["means"] + jnp.where(
+        alive[:, None], shaped * (op_gate[:, None] * lr * scaler), 0.0
+    )
+    return out

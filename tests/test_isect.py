@@ -38,8 +38,12 @@ def test_isect_tiles_parity(rng, test_scene):
     )
 
     capacity = 16384
-    tiles_per_gauss, tile_keys, isect_depths, flatten_ids, n_isects = isect_tiles(
+    isect = isect_tiles(
         means2d, radii, depths, tile_size, tile_width, tile_height, capacity
+    )
+    tiles_per_gauss, tile_keys, isect_depths, flatten_ids, n_isects = (
+        isect.tiles_per_gauss, isect.tile_keys, isect.depths,
+        isect.flatten_ids, isect.n_isects,
     )
     n_isects = int(n_isects)
     assert n_isects < capacity, "test capacity too small"
@@ -105,8 +109,7 @@ def test_isect_tiles_overflow(rng, test_scene):
     tile_size = 16
     tw, th = -(-s["width"] // tile_size), -(-s["height"] // tile_size)
     cap = 128
-    _, tile_keys, _, _, n_isects = isect_tiles(
-        means2d, radii, depths, tile_size, tw, th, cap
-    )
+    res = isect_tiles(means2d, radii, depths, tile_size, tw, th, cap)
+    tile_keys, n_isects = res.tile_keys, res.n_isects
     assert int(n_isects) == cap
     assert np.all(np.asarray(tile_keys) != INT32_MAX)
