@@ -5,36 +5,38 @@ TPU-native re-design of the reference CUDA kernels
 rasterize_to_pixels_bwd.cu). Not a translation — the design maps the per-tile
 sequential loop onto TPU hardware:
 
-  Forward (one grid step per screen tile; the TPU grid runs sequentially):
-    * the sorted intersection list is pre-gathered once (XLA gather) into a
-      transposed ``packed`` [D_pad, cap2] array whose per-tile runs are padded
-      to K=128-entry chunks (isect.align_isects), so every inner-loop read is
-      one aligned (D_pad, 128) async DMA, double-buffered — the TPU answer to
-      the CUDA kernel's warp-cooperative shared-memory staging (fwd.cu:90-130);
-    * a chunk of 128 Gaussians is composited against all P=tile_size^2 pixels
-      at once — pixels on sublanes, Gaussians on lanes: per-pair alphas [P, K]
-      on the VPU, the exclusive cumulative transmittance via an upper-
-      triangular [K, K] matmul in log space (MXU), and color accumulation as a
-      [P, K] x [K, CH] matmul (MXU) — the flash-attention formulation of
-      front-to-back compositing with a carried per-pixel transmittance column;
-    * early termination (fwd.cu:99-101) happens at chunk granularity via the
-      ``lax.while_loop`` condition max(T) > 1e-4, which also skips the
-      remaining DMAs; the CUDA semantics (a Gaussian renders iff the running
-      product *including it* stays > 1e-4) are reproduced exactly with an
-      inclusive-product mask.
+  * The sorted intersection list is pre-gathered once (XLA gather) into a
+    contiguous ``packed`` [cap2, D] array whose per-tile runs are padded to
+    K=128-entry chunks (isect.align_isects). The kernel grid iterates over
+    those chunks; the Pallas pipeline streams the (K, D) blocks through VMEM
+    with automatic double buffering — the TPU answer to the CUDA kernel's
+    warp-cooperative shared-memory staging (fwd.cu:90-130), with zero
+    per-tile DMA latency on the critical path.
+  * Each chunk composites K=128 Gaussians against all P=tile_size^2 pixels:
+    Gaussians on sublanes, pixels on lanes. Per-pair alphas [K, P] on the
+    VPU; the front-to-back prefix transmittance is an exclusive cumulative
+    *product* along the Gaussian axis computed with a log2(K)-step
+    roll-and-multiply scan (no transcendentals, no MXU); color accumulation
+    is a [CH, K] x [K, P] matmul (MXU). A carried per-pixel transmittance
+    row in VMEM scratch links chunks of the same tile; outputs are tile
+    blocks revisited across a tile's chunks (scalar-prefetched chunk->tile
+    map), so partial sums stay in VMEM.
+  * Early termination (fwd.cu:99-101): once max(T) <= 1e-4 the remaining
+    chunks of the tile skip their compute. The CUDA semantics (a Gaussian
+    renders iff the running product *including it* stays > 1e-4) are
+    reproduced exactly with an inclusive-product mask.
 
   Backward (hand-derived, deterministic — replaces bwd.cu's warp-reduced
   atomicAdds, which have no TPU equivalent):
-    * pure recompute: replays the forward chunk loop front-to-back carrying
-      (T, q) where q = sum_ch (C_total - C_prefix) * v_color; per-chunk
-      suffix terms come from an inclusive-triangular matmul;
-    * per-intersection gradients are DMA'd to the chunk's own aligned column
-      range of a [D_pad, cap2] buffer — tile runs are chunk-aligned, so
-      writes never collide;
-    * the per-Gaussian reduction is scatter-free: invert the tile sort with
-      the precomputed permutation (a gather), then take cumulative-sum
-      differences over the contiguous per-Gaussian runs of the expansion
-      order (isect.py).
+  * pure recompute: replays the forward chunk scan front-to-back carrying
+    (T, q) where q = sum_ch (C_total - C_prefix) * v_color; per-chunk suffix
+    terms come from an inclusive roll-scan;
+  * per-intersection gradients are written to the chunk's own (K, D) output
+    block — tile runs are chunk-aligned, so writes never collide;
+  * the per-Gaussian reduction is scatter-free: invert the tile sort with
+    the precomputed permutation (a gather), then take cumulative-sum
+    differences over the contiguous per-Gaussian runs of the expansion
+    order (isect.py).
 """
 
 from __future__ import annotations
@@ -56,7 +58,7 @@ ALPHA_THRESHOLD = 1.0 / 255.0
 TRANSMITTANCE_EPS = 1e-4
 MAX_ALPHA = 0.999
 
-K_CHUNK = 128  # gaussians per inner step == the isect alignment unit
+K_CHUNK = 128  # gaussians per grid step == the isect alignment unit
 
 
 class RasterCfg(NamedTuple):
@@ -82,20 +84,41 @@ class RasterCfg(NamedTuple):
         return 6 + self.channels
 
     @property
-    def d_pad(self):
-        return ((self.d + 7) // 8) * 8
+    def n_chunks(self):
+        return self.cap2 // K_CHUNK
 
 
 def _supports_mosaic() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def _ut(k: int, strict: bool) -> jnp.ndarray:
-    """Upper-triangular ones [K, K]: x @ UT = (exclusive|inclusive) row-wise
-    prefix sums along lanes. Built from iota (Pallas forbids captured consts)."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    return (i < j if strict else i <= j).astype(jnp.float32)
+def _shifted(x, sh, axis, fill):
+    """x shifted by +sh along ``axis`` with ``fill`` entering at the start."""
+    rolled = pltpu.roll(x, sh, axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    return jnp.where(idx < sh, fill, rolled)
+
+
+def _cumprod_excl(x, axis):
+    """Exclusive cumulative product along ``axis`` (length must be a power of
+    two) via a log2-step roll-and-multiply scan — VPU-only, exact f32."""
+    n = x.shape[axis]
+    y = _shifted(x, 1, axis, 1.0)  # shift in the identity
+    sh = 1
+    while sh < n:
+        y = y * _shifted(y, sh, axis, 1.0)
+        sh *= 2
+    return y
+
+
+def _cumsum_incl(x, axis):
+    """Inclusive cumulative sum along ``axis`` via the same scan."""
+    n = x.shape[axis]
+    sh = 1
+    while sh < n:
+        x = x + _shifted(x, sh, axis, 0.0)
+        sh *= 2
+    return x
 
 
 def _dot(a, b, dims):
@@ -106,29 +129,30 @@ def _dot(a, b, dims):
 
 
 def _pixel_coords(cfg: RasterCfg, tile_idx):
-    """Pixel-center coordinates for one tile, shape (P, 1) each."""
+    """Pixel-center coordinates for one tile, shape (1, P) each."""
     ts = cfg.tile_size
     P = cfg.pixels
     tiles_per_cam = cfg.tile_width * cfg.tile_height
     rem = tile_idx % tiles_per_cam
     ty = rem // cfg.tile_width
     tx = rem % cfg.tile_width
-    p = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     px = (tx * ts + p % ts).astype(jnp.float32) + 0.5
     py = (ty * ts + p // ts).astype(jnp.float32) + 0.5
     return px, py
 
 
-def _chunk_geometry(cfg, buf, px, py, start, end, c):
-    """Shared fwd/bwd per-chunk math. buf is (D_pad, K); returns [P, K] maps."""
+def _chunk_geometry(cfg, buf, px, py, row0, end):
+    """Per-chunk pair math. buf (K, D): gaussians on sublanes. Returns [K, P]
+    maps plus per-gaussian columns."""
     K = K_CHUNK
-    xs, ys = buf[0:1, :], buf[1:2, :]
-    ca, cb, cc = buf[2:3, :], buf[3:4, :], buf[4:5, :]
-    op = buf[5:6, :]
-    dx = xs - px  # (P, K)
+    xs, ys = buf[:, 0:1], buf[:, 1:2]
+    ca, cb, cc = buf[:, 2:3], buf[:, 3:4], buf[:, 4:5]
+    op = buf[:, 5:6]
+    dx = xs - px  # (K, P)
     dy = ys - py
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    idx = start + c * K + jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    idx = row0 + jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
     in_range = idx < end
     alpha_raw = op * jnp.exp(-sigma)
     alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
@@ -141,18 +165,17 @@ def _chunk_geometry(cfg, buf, px, py, start, end, c):
     )
 
 
-def _composite_weights(alpha, t_col, ut_strict):
-    """Blockwise front-to-back weights; t_col is the carried (P, 1) column."""
-    logom = jnp.log1p(-alpha)  # (P, K)
-    cum_excl = _dot(logom, ut_strict, ((1,), (0,)))
-    cum_incl = cum_excl + logom
-    t_prev = jnp.exp(cum_excl) * t_col
-    t_incl = jnp.exp(cum_incl) * t_col
+def _composite_weights(alpha, t_row):
+    """Blockwise front-to-back weights; t_row is the carried (1, P) row.
+    All products, no logs: f32 underflow below the 1e-4 cutoff is benign."""
+    oma = 1.0 - alpha  # (K, P)
+    t_rel_excl = _cumprod_excl(oma, axis=0)
+    t_prev = t_rel_excl * t_row
+    t_incl = t_prev * oma
     m = t_incl > TRANSMITTANCE_EPS
     w = alpha * t_prev * jnp.where(m, 1.0, 0.0)
-    t_new = jnp.minimum(
-        t_col, jnp.min(jnp.where(m, t_incl, jnp.inf), axis=1, keepdims=True)
-    )
+    t_new = jnp.min(jnp.where(m, t_incl, t_row), axis=0, keepdims=True)
+    t_new = jnp.minimum(t_row, t_new)
     return w, m, t_prev, t_new
 
 
@@ -161,84 +184,66 @@ def _composite_weights(alpha, t_col, ut_strict):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(cfg: RasterCfg, starts_ref, ends_ref, packed_ref, color_ref,
-                alpha_ref, chunk_buf, sems):
+def _fwd_kernel(cfg: RasterCfg, tile_ref, starts_ref, ends_ref, packed_ref,
+                color_ref, alpha_ref, t_scratch):
     K = K_CHUNK
     CH = cfg.channels
-    t = pl.program_id(0)
-    start = starts_ref[t]
+    i = pl.program_id(0)
+    t = tile_ref[i]
+    row0 = i * K
+    first = row0 == starts_ref[t]
     end = ends_ref[t]
-    nchunks = pl.cdiv(end - start, K)
-    px, py = _pixel_coords(cfg, t)
-    ut_strict = _ut(K, strict=True)
 
-    color_ref[0] = jnp.zeros_like(color_ref[0])
-
-    def get_dma(slot, c):
-        off = pl.multiple_of(start + c * K, K)  # tile runs are K-aligned
-        return pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(off, K)],
-            chunk_buf.at[slot],
-            sems.at[slot],
-        )
-
-    @pl.when(nchunks > 0)
+    @pl.when(first)
     def _():
-        get_dma(0, 0).start()
+        color_ref[0] = jnp.zeros_like(color_ref[0])
+        t_scratch[:] = jnp.ones_like(t_scratch)
 
-    def cond(state):
-        c, t_col = state
-        return (c < nchunks) & (jnp.max(t_col) > TRANSMITTANCE_EPS)
+    t_row = t_scratch[:]  # (1, P)
 
-    def body(state):
-        c, t_col = state
-        slot = c % 2
+    @pl.when(jnp.max(t_row) > TRANSMITTANCE_EPS)
+    def _():
+        px, py = _pixel_coords(cfg, t)
+        g = _chunk_geometry(cfg, packed_ref[:], px, py, row0, end)
+        w, m, t_prev, t_new = _composite_weights(g["alpha"], t_row)
+        # (CH, P) += colors (K, CH)^T x w (K, P)
+        color_ref[0] += _dot(packed_ref[:, 6 : 6 + CH], w, ((0,), (0,)))
+        t_scratch[:] = t_new
+        alpha_ref[0] = 1.0 - t_new
 
-        @pl.when(c + 1 < nchunks)
-        def _():
-            get_dma((c + 1) % 2, c + 1).start()
-
-        get_dma(slot, c).wait()
-        buf = chunk_buf[slot]
-        g = _chunk_geometry(cfg, buf, px, py, start, end, c)
-        w, m, t_prev, t_new = _composite_weights(g["alpha"], t_col, ut_strict)
-        # (P, CH) += w (P, K) x colors (CH, K)^T
-        color_ref[0] += _dot(w, buf[6 : 6 + CH, :], ((1,), (1,)))
-        return c + 1, t_new
-
-    t_init = jnp.ones((cfg.pixels, 1), jnp.float32)
-    _, t_final = jax.lax.while_loop(cond, body, (jnp.int32(0), t_init))
-    alpha_ref[0] = 1.0 - t_final
+    @pl.when(first & (end <= row0))
+    def _():
+        # Fully-padded (empty) tile: still define the outputs.
+        alpha_ref[0] = jnp.zeros_like(alpha_ref[0])
 
 
-def _run_fwd(cfg: RasterCfg, packed_t, starts, ends):
-    T = cfg.n_tiles
+def _run_fwd(cfg: RasterCfg, packed, chunk_tile, starts, ends):
     P = cfg.pixels
     CH = cfg.channels
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            pl.BlockSpec((1, P, CH), lambda i, *_: (i, 0, 0),
+        num_scalar_prefetch=3,  # chunk_tile, starts, ends
+        grid=(cfg.n_chunks,),
+        in_specs=[
+            pl.BlockSpec((K_CHUNK, cfg.d), lambda i, ct, s, e: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda i, *_: (i, 0, 0),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, CH, P), lambda i, ct, s, e: (ct[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i, ct, s, e: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, cfg.d_pad, K_CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, cfg),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((T, P, CH), jnp.float32),
-            jax.ShapeDtypeStruct((T, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.n_tiles + 1, CH, P), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.n_tiles + 1, 1, P), jnp.float32),
         ),
         interpret=cfg.interpret,
-    )(starts, ends, packed_t)
+    )(chunk_tile, starts, ends, packed)
 
 
 # ---------------------------------------------------------------------------
@@ -246,74 +251,43 @@ def _run_fwd(cfg: RasterCfg, packed_t, starts, ends):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(cfg: RasterCfg, starts_ref, ends_ref, packed_ref, vcol_ref,
-                valp_ref, alpha_ref, qinit_ref, zeros_ref, vpacked_ref,
-                chunk_buf, vbuf, sems, out_sems):
-    del zeros_ref  # aliased to vpacked_ref (pre-zeroed output)
+def _bwd_kernel(cfg: RasterCfg, tile_ref, starts_ref, ends_ref, packed_ref,
+                vcol_ref, valp_ref, alpha_ref, qinit_ref, vpacked_ref,
+                t_scratch, q_scratch):
     K = K_CHUNK
     CH = cfg.channels
-    t = pl.program_id(0)
-    start = starts_ref[t]
+    i = pl.program_id(0)
+    t = tile_ref[i]
+    row0 = i * K
+    first = row0 == starts_ref[t]
     end = ends_ref[t]
-    nchunks = pl.cdiv(end - start, K)
-    px, py = _pixel_coords(cfg, t)
-    ut_strict = _ut(K, strict=True)
-    ut_incl = _ut(K, strict=False)
 
-    v_c = vcol_ref[0]  # (P, CH) cotangent of this tile's gaussian color part
-    v_a = valp_ref[0]  # (P, 1) cotangent of this tile's alpha output
-    t_final = 1.0 - alpha_ref[0]  # (P, 1)
-    q_init = qinit_ref[0]  # (P, 1) = sum_ch C_total * v_c
-
-    def get_dma(slot, c):
-        off = pl.multiple_of(start + c * K, K)  # tile runs are K-aligned
-        return pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(off, K)],
-            chunk_buf.at[slot],
-            sems.at[slot],
-        )
-
-    def out_dma(slot, c):
-        off = pl.multiple_of(start + c * K, K)
-        return pltpu.make_async_copy(
-            vbuf.at[slot],
-            vpacked_ref.at[:, pl.ds(off, K)],
-            out_sems.at[slot],
-        )
-
-    @pl.when(nchunks > 0)
+    @pl.when(first)
     def _():
-        get_dma(0, 0).start()
+        t_scratch[:] = jnp.ones_like(t_scratch)
+        q_scratch[:] = qinit_ref[0]
 
-    def cond(state):
-        c, t_col, q_col = state
-        return (c < nchunks) & (jnp.max(t_col) > TRANSMITTANCE_EPS)
+    t_row = t_scratch[:]
+    alive = jnp.max(t_row) > TRANSMITTANCE_EPS
 
-    def body(state):
-        c, t_col, q_col = state
-        slot = c % 2
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            get_dma((c + 1) % 2, c + 1).start()
-
-        get_dma(slot, c).wait()
-
-        # The out-DMA two chunks ago used this vbuf slot; wait before reuse.
-        @pl.when(c >= 2)
-        def _():
-            out_dma(slot, c - 2).wait()
-
-        buf = chunk_buf[slot]
-        g = _chunk_geometry(cfg, buf, px, py, start, end, c)
+    @pl.when(alive)
+    def _():
+        px, py = _pixel_coords(cfg, t)
+        buf = packed_ref[:]
+        g = _chunk_geometry(cfg, buf, px, py, row0, end)
         alpha = g["alpha"]
-        w, m, t_prev, t_new = _composite_weights(alpha, t_col, ut_strict)
+        w, m, t_prev, t_new = _composite_weights(alpha, t_row)
 
-        # G[p, k] = sum_ch v_c[p, ch] * color_k[ch]
-        G = _dot(v_c, buf[6 : 6 + CH, :], ((1,), (0,)))  # (P, K)
+        v_c = vcol_ref[0]  # (CH, P)
+        v_a = valp_ref[0]  # (1, P)
+        t_final = 1.0 - alpha_ref[0]  # (1, P)
+        q_row = q_scratch[:]  # (1, P)
+
+        # G[k, p] = sum_ch color_k[ch] * v_c[ch, p]
+        G = _dot(buf[:, 6 : 6 + CH], v_c, ((1,), (0,)))  # (K, P)
         u = w * G
-        cum_u = _dot(u, ut_incl, ((1,), (0,)))  # inclusive prefix along K
-        s = q_col - cum_u  # suffix color term sum_ch S_k * v_c
+        cum_u = _cumsum_incl(u, axis=0)
+        s = q_row - cum_u  # suffix color term sum_ch S_k * v_c
         one_m_alpha = 1.0 - alpha
         inv_oma = 1.0 / jnp.where(one_m_alpha > 0, one_m_alpha, 1.0)
         v_alpha = (
@@ -322,79 +296,86 @@ def _bwd_kernel(cfg: RasterCfg, starts_ref, ends_ref, packed_ref, vcol_ref,
 
         dvalid = jnp.where(g["valid"] & jnp.logical_not(g["clamped"]), 1.0, 0.0)
         exp_neg_sigma = jnp.exp(-g["sigma"])
-        v_op = jnp.sum(v_alpha * exp_neg_sigma * dvalid, axis=0, keepdims=True)
-        v_sig = -alpha * v_alpha * dvalid  # (P, K)
+        v_sig = -alpha * v_alpha * dvalid  # (K, P)
         dx, dy = g["dx"], g["dy"]
-        vbuf[slot, 0:1, :] = jnp.sum(
-            v_sig * (g["ca"] * dx + g["cb"] * dy), axis=0, keepdims=True
+
+        vpacked_ref[:, 0:1] = jnp.sum(
+            v_sig * (g["ca"] * dx + g["cb"] * dy), axis=1, keepdims=True
         )
-        vbuf[slot, 1:2, :] = jnp.sum(
-            v_sig * (g["cc"] * dy + g["cb"] * dx), axis=0, keepdims=True
+        vpacked_ref[:, 1:2] = jnp.sum(
+            v_sig * (g["cc"] * dy + g["cb"] * dx), axis=1, keepdims=True
         )
-        vbuf[slot, 2:3, :] = jnp.sum(v_sig * 0.5 * dx * dx, axis=0, keepdims=True)
-        vbuf[slot, 3:4, :] = jnp.sum(v_sig * dx * dy, axis=0, keepdims=True)
-        vbuf[slot, 4:5, :] = jnp.sum(v_sig * 0.5 * dy * dy, axis=0, keepdims=True)
-        vbuf[slot, 5:6, :] = v_op
-        # v_color[ch, k] = sum_p v_c[p, ch] * w[p, k]
-        vbuf[slot, 6 : 6 + CH, :] = _dot(v_c, w, ((0,), (0,)))
-        out_dma(slot, c).start()
+        vpacked_ref[:, 2:3] = jnp.sum(v_sig * 0.5 * dx * dx, axis=1, keepdims=True)
+        vpacked_ref[:, 3:4] = jnp.sum(v_sig * dx * dy, axis=1, keepdims=True)
+        vpacked_ref[:, 4:5] = jnp.sum(v_sig * 0.5 * dy * dy, axis=1, keepdims=True)
+        vpacked_ref[:, 5:6] = jnp.sum(
+            v_alpha * exp_neg_sigma * dvalid, axis=1, keepdims=True
+        )
+        # v_color[k, ch] = sum_p w[k, p] * v_c[ch, p]
+        vpacked_ref[:, 6 : 6 + CH] = _dot(w, v_c, ((1,), (1,)))
 
-        q_new = q_col - jnp.sum(u, axis=1, keepdims=True)
-        return c + 1, t_new, q_new
+        t_scratch[:] = t_new
+        q_scratch[:] = q_row - jnp.sum(u, axis=0, keepdims=True)
 
-    t_init = jnp.ones((cfg.pixels, 1), jnp.float32)
-    c_end, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), t_init, q_init))
-
-    @pl.when(c_end >= 1)
+    @pl.when(jnp.logical_not(alive))
     def _():
-        out_dma((c_end - 1) % 2, c_end - 1).wait()
-
-    @pl.when(c_end >= 2)
-    def _():
-        out_dma((c_end - 2) % 2, c_end - 2).wait()
+        vpacked_ref[:] = jnp.zeros_like(vpacked_ref)
 
 
-def _run_bwd(cfg: RasterCfg, packed_t, starts, ends, tile_colors, tile_alphas,
-             v_tile_colors, v_tile_alphas):
-    T = cfg.n_tiles
+def _run_bwd(cfg: RasterCfg, packed, chunk_tile, starts, ends, tile_colors,
+             tile_alphas, v_tile_colors, v_tile_alphas):
     P = cfg.pixels
     CH = cfg.channels
 
-    # q_init[t] = sum_ch tile_colors[t] * v_tile_colors[t]  (cheap XLA prepass)
-    q_init = jnp.sum(tile_colors * v_tile_colors, axis=-1, keepdims=True)
+    # q_init[t] = sum_ch C_total[t] * v_c[t]  (cheap XLA prepass)
+    q_init = jnp.sum(tile_colors * v_tile_colors, axis=1, keepdims=True)
 
-    zeros = jnp.zeros((cfg.d_pad, cfg.cap2), jnp.float32)
     tile_block = lambda ch: pl.BlockSpec(
-        (1, P, ch), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, ch, P), lambda i, ct, s, e: (ct[i], 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
+        num_scalar_prefetch=3,
+        grid=(cfg.n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # packed_t
+            pl.BlockSpec((K_CHUNK, cfg.d), lambda i, ct, s, e: (i, 0),
+                         memory_space=pltpu.VMEM),  # packed
             tile_block(CH),  # v_tile_colors
             tile_block(1),  # v_tile_alphas
             tile_block(1),  # tile_alphas (for T_final)
             tile_block(1),  # q_init
-            pl.BlockSpec(memory_space=pl.ANY),  # zeros (aliased to output)
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec((K_CHUNK, cfg.d), lambda i, ct, s, e: (i, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, cfg.d_pad, K_CHUNK), jnp.float32),
-            pltpu.VMEM((2, cfg.d_pad, K_CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
         ],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, cfg),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cfg.d_pad, cfg.cap2), jnp.float32),
-        input_output_aliases={7: 0},  # zeros input (incl. 2 scalar args)
+        out_shape=jax.ShapeDtypeStruct((cfg.cap2, cfg.d), jnp.float32),
         interpret=cfg.interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, ends, packed_t, v_tile_colors, v_tile_alphas, tile_alphas,
-      q_init, zeros)
+    )(chunk_tile, starts, ends, packed, v_tile_colors, v_tile_alphas,
+      tile_alphas, q_init)
+
+
+def _chunk_tile_map(cfg: RasterCfg, starts, ends):
+    """chunk index -> owning tile (sentinel = n_tiles for padding chunks).
+    starts come from align_isects so runs are K-aligned and consecutive."""
+    total = jnp.concatenate(
+        [starts, jnp.full((1,), cfg.cap2 + 1, starts.dtype)]
+    )
+    chunk_row = jnp.arange(cfg.n_chunks, dtype=jnp.int32) * K_CHUNK
+    # run of tile t covers [starts[t], starts[t+1]) in aligned space; the
+    # aligned end of tile t equals starts[t+1] (runs are packed). A chunk
+    # belongs to the last tile whose start is <= its first row.
+    aligned_ends = jnp.concatenate(
+        [starts[1:], ((ends[-1:] + K_CHUNK - 1) // K_CHUNK) * K_CHUNK]
+    )
+    tile = jnp.searchsorted(starts, chunk_row, side="right").astype(jnp.int32) - 1
+    in_run = chunk_row < aligned_ends[tile]
+    return jnp.where(in_run, tile, cfg.n_tiles).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -403,43 +384,55 @@ def _run_bwd(cfg: RasterCfg, packed_t, starts, ends, tile_colors, tile_alphas,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _rasterize_packed(cfg, flat_attrs, aligned_ids, starts, ends, exp_offsets,
-                      inv_perm, n_isects):
+def _rasterize_packed(cfg, flat_attrs, aligned_ids, chunk_tile, starts, ends,
+                      exp_offsets, inv_perm, n_isects):
     out, _ = _rasterize_packed_fwd(
-        cfg, flat_attrs, aligned_ids, starts, ends, exp_offsets, inv_perm,
-        n_isects
+        cfg, flat_attrs, aligned_ids, chunk_tile, starts, ends, exp_offsets,
+        inv_perm, n_isects
     )
     return out
 
 
 def _pack(cfg, flat_attrs, aligned_ids):
-    """[M, D] attrs + one zero pad row, gathered to aligned order and
-    transposed to the kernel's [D_pad, cap2] layout."""
+    """[M, D] attrs + one zero pad row, gathered to aligned order [cap2, D]."""
     pad = jnp.zeros((1, flat_attrs.shape[1]), flat_attrs.dtype)
     flat = jnp.concatenate([flat_attrs, pad], axis=0)
-    packed = jnp.take(flat, aligned_ids, axis=0)  # [cap2, D]
-    packed_t = packed.T  # [D, cap2]
-    return jnp.pad(packed_t, ((0, cfg.d_pad - cfg.d), (0, 0)))
+    return jnp.take(flat, aligned_ids, axis=0)
 
 
-def _rasterize_packed_fwd(cfg, flat_attrs, aligned_ids, starts, ends,
-                          exp_offsets, inv_perm, n_isects):
-    packed_t = _pack(cfg, flat_attrs, aligned_ids)
-    tile_colors, tile_alphas = _run_fwd(cfg, packed_t, starts, ends)
-    res = (packed_t, starts, ends, tile_colors, tile_alphas, exp_offsets,
-           inv_perm, n_isects)
+def _pad_scalar(x):
+    """Append a sentinel entry (0) so the padding-chunk tile index n_tiles is
+    a valid read."""
+    return jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+
+
+def _rasterize_packed_fwd(cfg, flat_attrs, aligned_ids, chunk_tile, starts,
+                          ends, exp_offsets, inv_perm, n_isects):
+    packed = _pack(cfg, flat_attrs, aligned_ids)
+    tile_colors, tile_alphas = _run_fwd(
+        cfg, packed, chunk_tile, _pad_scalar(starts), _pad_scalar(ends)
+    )
+    # Tiles with no chunks never get written — zero them.
+    visited = (ends > starts)[:, None, None]
+    tile_colors = jnp.where(visited, tile_colors[: cfg.n_tiles], 0.0)
+    tile_alphas = jnp.where(visited, tile_alphas[: cfg.n_tiles], 0.0)
+    res = (packed, chunk_tile, starts, ends, tile_colors, tile_alphas,
+           exp_offsets, inv_perm, n_isects)
     return (tile_colors, tile_alphas), res
 
 
 def _rasterize_packed_bwd(cfg, res, cot):
-    (packed_t, starts, ends, tile_colors, tile_alphas, exp_offsets, inv_perm,
-     n_isects) = res
+    (packed, chunk_tile, starts, ends, tile_colors, tile_alphas, exp_offsets,
+     inv_perm, n_isects) = res
     v_tile_colors, v_tile_alphas = cot
-    v_packed_t = _run_bwd(
-        cfg, packed_t, starts, ends, tile_colors, tile_alphas,
-        v_tile_colors, v_tile_alphas
+    pad = lambda x: jnp.concatenate(
+        [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0
     )
-    v_packed = v_packed_t[: cfg.d].T  # [cap2, D]
+    v_packed = _run_bwd(
+        cfg, packed, chunk_tile, _pad_scalar(starts), _pad_scalar(ends),
+        pad(tile_colors), pad(tile_alphas), pad(v_tile_colors),
+        pad(v_tile_alphas)
+    )  # [cap2, D]
 
     # Segment reduction without scatters: aligned -> expansion order via the
     # precomputed inverse permutation (a gather), then prefix-sum differences
@@ -459,6 +452,7 @@ def _rasterize_packed_bwd(cfg, res, cot):
     return (
         v_flat,
         f0((cfg.cap2,)),  # aligned_ids
+        f0(chunk_tile.shape),
         f0(starts.shape),
         f0(ends.shape),
         f0(exp_offsets.shape),
@@ -524,10 +518,12 @@ def rasterize_to_pixels(
         axis=-1,
     ).astype(jnp.float32)
 
+    chunk_tile = _chunk_tile_map(cfg, aligned.starts, aligned.ends)
     tile_colors, tile_alphas = _rasterize_packed(
         cfg,
         flat_attrs,
         aligned.ids,
+        chunk_tile,
         aligned.starts,
         aligned.ends,
         isect.exp_offsets,
@@ -539,8 +535,8 @@ def rasterize_to_pixels(
     TH, TW = tile_height, tile_width
 
     def assemble(buf, ch):
-        img = buf.reshape(C, TH, TW, ts, ts, ch)
-        img = img.transpose(0, 1, 3, 2, 4, 5).reshape(C, TH * ts, TW * ts, ch)
+        img = buf.reshape(C, TH, TW, ch, ts, ts)
+        img = img.transpose(0, 1, 4, 2, 5, 3).reshape(C, TH * ts, TW * ts, ch)
         return img[:, :height, :width, :]
 
     img = assemble(tile_colors, CH)
