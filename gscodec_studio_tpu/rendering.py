@@ -60,6 +60,7 @@ def rasterization(
     isect_capacity: Optional[int] = None,
     channel_chunk: int = 32,
     rasterizer: str = "pallas",
+    means2d_probe: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """Differentiable batched splat rendering (reference rendering.py:28-890).
 
@@ -92,6 +93,19 @@ def rasterization(
         calc_compensations=calc_compensations,
         camera_model=camera_model,
     )
+    # Opacity culling: a splat with linear opacity < 1/255 can never pass the
+    # kernel's alpha threshold (alpha = op*exp(-sigma) <= op), so drop it from
+    # binning. This is exact, and it is what makes dead capacity slots
+    # (models/splats.py) free: they never reach the intersection buffer.
+    radii = jnp.where(opacities[None, :] >= 1.0 / 255.0, radii, 0)
+
+    if means2d_probe is not None:
+        # Zero-valued probe whose gradient is the screen-space position
+        # gradient the densification strategies consume (the JAX analog of
+        # the reference's info["means2d"].retain_grad(),
+        # simple_trainer.py:940-946).
+        means2d = means2d + means2d_probe
+
     opacities_cn = jnp.broadcast_to(opacities[None, :], (C, N))
     if compensations is not None:
         opacities_cn = opacities_cn * compensations

@@ -215,17 +215,21 @@ def inject_noise_to_position(
     min_opacity: float = 0.005,
 ) -> Params:
     """MCMC exploration noise (strategy/ops.py inject_noise_to_position:
-    360-386): covariance-shaped Gaussian noise scaled by lr*scaler, gated off
-    for opaque splats via sigmoid(-k*(op - x0)), k=100, x0=0.995."""
+    360-386): noise ~ covar @ (randn * gate * lr * scaler), where the gate
+    sigmoid(k*((1-op)-x0)) (k=100, x0=0.995) turns the noise on only for
+    near-transparent Gaussians — opaque ones stay put."""
+    from gscodec_studio_tpu.ops.quat import quat_scale_to_covar
+
     op = jax.nn.sigmoid(params["opacities"])
-    op_gate = jax.nn.sigmoid(-100.0 * (op - 0.995))
-    R = quat_to_rotmat(params["quats"])
-    scales = jnp.exp(params["scales"])
-    noise = jax.random.normal(key, params["means"].shape)
-    shaped = jnp.einsum("nij,nj->ni", R, scales * noise)  # covar^(1/2) n
-    alive = op > min_opacity
-    out = dict(params)
-    out["means"] = params["means"] + jnp.where(
-        alive[:, None], shaped * (op_gate[:, None] * lr * scaler), 0.0
+    gate = jax.nn.sigmoid(100.0 * ((1.0 - op) - 0.995))
+    covars = quat_scale_to_covar(params["quats"], jnp.exp(params["scales"]))
+    noise = (
+        jax.random.normal(key, params["means"].shape)
+        * gate[:, None]
+        * (lr * scaler)
     )
+    shaped = jnp.einsum("nij,nj->ni", covars, noise)
+    alive = op > min_opacity  # dead capacity slots don't random-walk
+    out = dict(params)
+    out["means"] = params["means"] + jnp.where(alive[:, None], shaped, 0.0)
     return out

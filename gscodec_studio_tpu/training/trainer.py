@@ -1,0 +1,342 @@
+"""Static 3DGS trainer (TPU-native equivalent of the reference's
+examples/simple_trainer.py).
+
+Structure: a ``Config`` dataclass (tyro-style CLI via utils.cli), a ``Runner``
+holding host-side state (datasets, writers), and ONE jitted train step — the
+whole device hot path (projection -> SH -> binning -> Pallas rasterization ->
+loss -> backward -> per-group Adam) is a single compiled function
+(simple_trainer.py:805-1208 is the behavioral spec). Densification runs as a
+separately-jitted static-shape refine (strategy/), so no step ever
+recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gscodec_studio_tpu.models.splats import (
+    create_splats,
+    splat_activations,
+    PARAM_LRS,
+)
+from gscodec_studio_tpu.optimizers import build_splat_optimizers
+from gscodec_studio_tpu.optimizers.builders import apply_updates
+from gscodec_studio_tpu.rendering import rasterization
+from gscodec_studio_tpu.strategy import DefaultStrategy, MCMCStrategy
+from gscodec_studio_tpu.training.losses import combined_loss, psnr, ssim
+
+
+@dataclass
+class Config:
+    """Mirrors the reference Config (simple_trainer.py:139-326) for the
+    features implemented so far."""
+
+    data_dir: str = "data/garden"
+    data_factor: int = 4
+    result_dir: str = "results/run"
+    max_steps: int = 30_000
+    batch_size: int = 1
+    test_every: int = 8
+
+    # Model
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000
+    init_type: str = "sfm"
+    init_num_pts: int = 100_000
+    init_opa: float = 0.1
+    init_scale: float = 1.0
+    near_plane: float = 0.01
+    far_plane: float = 1e10
+    antialiased: bool = False
+
+    # Capacity (static shapes): DefaultStrategy grows into cap slots.
+    capacity: Optional[int] = None  # default: 4x init points (or cap_max for mcmc)
+    isect_capacity: Optional[int] = None
+
+    # Loss
+    ssim_lambda: float = 0.2
+    opacity_reg: float = 0.0
+    scale_reg: float = 0.0
+    random_bkgd: bool = False
+
+    # Strategy
+    strategy: str = "default"  # "default" | "mcmc"
+    mcmc_cap_max: int = 1_000_000
+
+    # Misc
+    eval_steps: tuple = (7_000, 30_000)
+    save_steps: tuple = (7_000, 30_000)
+    seed: int = 42
+    visible_adam: bool = False
+
+    # Compression simulation (training-time; compression_sim/)
+    compression_sim: bool = False
+    rd_lambda: float = 0.01
+    entropy_model_opt: bool = False
+    shN_ada_mask_opt: bool = False
+
+
+class Runner:
+    """Owns host state; see module docstring."""
+
+    def __init__(self, cfg: Config, parser=None, trainset=None, valset=None):
+        self.cfg = cfg
+        if parser is None:
+            from gscodec_studio_tpu.datasets.colmap import Parser, Dataset
+
+            parser = Parser(cfg.data_dir, factor=cfg.data_factor,
+                            test_every=cfg.test_every)
+            trainset = Dataset(parser, split="train")
+            valset = Dataset(parser, split="val")
+        self.parser = parser
+        self.trainset = trainset
+        self.valset = valset
+        self.scene_scale = getattr(parser, "scene_scale", 1.0)
+
+        points = np.asarray(parser.points)
+        rgbs = np.asarray(parser.points_rgb) / 255.0
+        if cfg.init_type == "random":
+            rng = np.random.default_rng(cfg.seed)
+            points = (
+                (rng.random((cfg.init_num_pts, 3)) * 2 - 1)
+                * 3.0 * self.scene_scale
+            ).astype(np.float32)
+            rgbs = rng.random((cfg.init_num_pts, 3)).astype(np.float32)
+
+        n_init = points.shape[0]
+        if cfg.strategy == "mcmc":
+            cap = cfg.mcmc_cap_max
+            self.strategy = MCMCStrategy(cap_max=cap)
+        else:
+            cap = cfg.capacity or 4 * n_init
+            self.strategy = DefaultStrategy()
+        cap = max(cap, n_init)
+
+        self.splats = create_splats(
+            points, rgbs, cap=cap, sh_degree=cfg.sh_degree,
+            init_opacity=cfg.init_opa, init_scale=cfg.init_scale,
+            seed=cfg.seed,
+        )
+        self.txs, self.opt_states = build_splat_optimizers(
+            self.splats,
+            scene_scale=self.scene_scale,
+            batch_size=cfg.batch_size,
+            max_steps=cfg.max_steps,
+            visible_adam=cfg.visible_adam,
+        )
+        if cfg.strategy == "mcmc":
+            self.strategy_state = self.strategy.initialize_state(
+                cap, self.scene_scale, n_init=n_init
+            )
+        else:
+            self.strategy_state = self.strategy.initialize_state(
+                cap, self.scene_scale
+            )
+
+        self.compression_sim = None
+        if cfg.compression_sim:
+            from gscodec_studio_tpu.compression_sim.simulation import (
+                CompressionSimulation,
+            )
+
+            self.compression_sim = CompressionSimulation(
+                entropy_model_opt=cfg.entropy_model_opt,
+                shN_ada_mask_opt=cfg.shN_ada_mask_opt,
+                cap=cap,
+                max_steps=cfg.max_steps,
+            )
+
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self._train_step = None
+        self._step_shape = None
+        self._refine = jax.jit(self.strategy.refine)
+        os.makedirs(cfg.result_dir, exist_ok=True)
+
+    # -- jitted step ------------------------------------------------------
+
+    def _build_train_step(self, height: int, width: int, sh_degree: int):
+        cfg = self.cfg
+        cap = self.splats["means"].shape[0]
+        isect_capacity = cfg.isect_capacity or max(cap * 4, 1 << 20)
+        strategy = self.strategy
+        sim = self.compression_sim
+
+        def train_step(params, opt_states, strat_state, sim_state, batch, key,
+                       step):
+            camtoworld = batch["camtoworld"]  # [4,4]
+            K = batch["K"]
+            target = batch["image"][None]  # [1,H,W,3]
+            viewmat = jnp.linalg.inv(camtoworld)[None]
+            key, kb, ksim = jax.random.split(key, 3)
+
+            def loss_fn(params, probe):
+                esti_bits_total = jnp.float32(0.0)
+                aux_losses = jnp.float32(0.0)
+                if sim is not None:
+                    params, esti_bits_total, aux_losses = sim.simulate(
+                        params, sim_state, step, ksim
+                    )
+                means, quats, scales, opac = splat_activations(params)
+                colors = jnp.concatenate(
+                    [params["sh0"], params["shN"]], axis=1
+                )
+                bkgd = (
+                    jax.random.uniform(kb, (1, 3))
+                    if cfg.random_bkgd
+                    else None
+                )
+                img, alpha, meta = rasterization(
+                    means, quats, scales, opac, colors,
+                    viewmat, K[None], width, height,
+                    near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+                    sh_degree=sh_degree,
+                    backgrounds=bkgd,
+                    rasterize_mode=(
+                        "antialiased" if cfg.antialiased else "classic"
+                    ),
+                    isect_capacity=isect_capacity,
+                    means2d_probe=probe,
+                )
+                loss = combined_loss(img, target, cfg.ssim_lambda)
+                if cfg.opacity_reg > 0:
+                    loss += cfg.opacity_reg * jnp.mean(jnp.abs(opac))
+                if cfg.scale_reg > 0:
+                    loss += cfg.scale_reg * jnp.mean(jnp.abs(scales))
+                if sim is not None:
+                    loss += cfg.rd_lambda * esti_bits_total + aux_losses
+                return loss, (img, meta)
+
+            probe = jnp.zeros((1, cap, 2), jnp.float32)
+            (loss, (img, meta)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, probe)
+            param_grads, v_means2d = grads
+
+            strat_state = strategy.update_state(strat_state, meta, v_means2d)
+
+            visibility = (jnp.sum(meta["radii"] > 0, axis=0) > 0).astype(
+                jnp.float32
+            )
+            params, opt_states = apply_updates(
+                self.txs, opt_states, params, param_grads,
+                visibility=visibility, visible_adam=cfg.visible_adam,
+            )
+            return params, opt_states, strat_state, loss, img
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def _means_lr(self, step: int) -> float:
+        base = PARAM_LRS["means"] * self.scene_scale * math.sqrt(
+            self.cfg.batch_size
+        )
+        return base * (0.01 ** (step / self.cfg.max_steps))
+
+    # -- loop -------------------------------------------------------------
+
+    def train(self, max_steps: Optional[int] = None, log_every: int = 100):
+        cfg = self.cfg
+        max_steps = max_steps or cfg.max_steps
+        strat = self.strategy
+        sim_state = (
+            self.compression_sim.init_state() if self.compression_sim else None
+        )
+        order = np.random.default_rng(cfg.seed).permutation(len(self.trainset))
+        losses = []
+        t0 = time.time()
+        for step in range(max_steps):
+            data = self.trainset[int(order[step % len(order)])]
+            batch = {
+                "camtoworld": jnp.asarray(data["camtoworld"]),
+                "K": jnp.asarray(data["K"]),
+                "image": jnp.asarray(data["image"]),
+            }
+            h, w = data["image"].shape[:2]
+            sh_degree = min(step // cfg.sh_degree_interval, cfg.sh_degree)
+            if self._train_step is None or self._step_shape != (h, w, sh_degree):
+                self._train_step = self._build_train_step(h, w, sh_degree)
+                self._step_shape = (h, w, sh_degree)
+
+            self.key, k = jax.random.split(self.key)
+            (self.splats, self.opt_states, self.strategy_state, loss, img) = (
+                self._train_step(
+                    self.splats, self.opt_states, self.strategy_state,
+                    sim_state, batch, k, jnp.asarray(step),
+                )
+            )
+            losses.append(float(loss))
+
+            # Densification / relocation schedule (host-side decisions).
+            if (
+                step > strat.refine_start_iter
+                and step < strat.refine_stop_iter
+                and step % strat.refine_every == 0
+            ):
+                self.key, k = jax.random.split(self.key)
+                self.splats, self.opt_states, self.strategy_state = (
+                    self._refine(
+                        self.splats, self.opt_states, self.strategy_state,
+                        jnp.asarray(step), k,
+                    )
+                )
+            if isinstance(strat, MCMCStrategy):
+                self.key, k = jax.random.split(self.key)
+                self.splats = strat.inject_noise(
+                    self.splats, k, self._means_lr(step)
+                )
+            if (
+                isinstance(strat, DefaultStrategy)
+                and step % strat.reset_every == 0
+                and step > 0
+            ):
+                self.splats, self.opt_states = strat.maybe_reset_opacity(
+                    self.splats, self.opt_states, step
+                )
+            if log_every and step % log_every == 0:
+                print(
+                    f"step {step}: loss {np.mean(losses[-log_every:]):.4f} "
+                    f"({time.time()-t0:.1f}s)"
+                )
+        return losses
+
+    # -- eval -------------------------------------------------------------
+
+    def render_view(self, camtoworld, K, width, height, sh_degree=None):
+        means, quats, scales, opac = splat_activations(self.splats)
+        colors = jnp.concatenate(
+            [self.splats["sh0"], self.splats["shN"]], axis=1
+        )
+        viewmat = jnp.linalg.inv(jnp.asarray(camtoworld))[None]
+        img, alpha, _ = rasterization(
+            means, quats, scales, opac, colors, viewmat,
+            jnp.asarray(K)[None], width, height,
+            sh_degree=self.cfg.sh_degree if sh_degree is None else sh_degree,
+            isect_capacity=self.cfg.isect_capacity
+            or max(self.splats["means"].shape[0] * 4, 1 << 20),
+        )
+        return jnp.clip(img[0], 0.0, 1.0)
+
+    def eval(self, stage: str = "val") -> Dict[str, float]:
+        metrics = {"psnr": [], "ssim": []}
+        for i in range(len(self.valset)):
+            data = self.valset[i]
+            h, w = data["image"].shape[:2]
+            img = self.render_view(data["camtoworld"], data["K"], w, h)
+            tgt = jnp.asarray(data["image"])
+            metrics["psnr"].append(float(psnr(img, tgt)))
+            metrics["ssim"].append(float(ssim(img[None], tgt[None])))
+        out = {k: float(np.mean(v)) for k, v in metrics.items()}
+        stats_dir = os.path.join(self.cfg.result_dir, "stats")
+        os.makedirs(stats_dir, exist_ok=True)
+        with open(os.path.join(stats_dir, f"{stage}.json"), "w") as f:
+            json.dump(out, f)
+        return out

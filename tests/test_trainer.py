@@ -1,0 +1,118 @@
+"""End-to-end training integration test: fit splats to views rendered from a
+known ground-truth splat set (no external data needed). The CPU analog of
+running simple_trainer on a scene — asserts optimization actually works
+through the full jitted pipeline (projection -> binning -> Pallas rasterizer
+-> loss -> backward -> Adam -> densification)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gscodec_studio_tpu.models.splats import create_splats, splat_activations
+from gscodec_studio_tpu.rendering import rasterization
+from gscodec_studio_tpu.training.trainer import Config, Runner
+from gscodec_studio_tpu.training.losses import psnr
+
+
+class FakeParser:
+    """Synthetic scene: GT splats rendered from a ring of cameras."""
+
+    def __init__(self, rng, n_views=6, width=64, height=48, n_gt=120):
+        self.width, self.height = width, height
+        gt_pts = (rng.random((n_gt, 3), dtype=np.float32) - 0.5) * 2
+        gt_rgb = rng.random((n_gt, 3)).astype(np.float32)
+        gt = create_splats(gt_pts, gt_rgb, cap=n_gt, sh_degree=0,
+                           init_opacity=0.8, init_scale=2.0)
+        self.points = gt_pts + 0.05 * rng.standard_normal((n_gt, 3)).astype(
+            np.float32
+        )
+        self.points_rgb = (gt_rgb * 255).astype(np.uint8)
+        self.points_err = np.zeros(n_gt)
+        self.scene_scale = 1.5
+
+        f = 0.9 * width
+        K = np.array(
+            [[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float32
+        )
+        self.camtoworlds = []
+        self.Ks = []
+        self.images = []
+        means, quats, scales, opac = splat_activations(gt)
+        colors = jnp.concatenate([gt["sh0"], gt["shN"]], axis=1)
+        for i in range(n_views):
+            ang = 0.25 * (i / n_views - 0.5)
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[:3, :3] = np.array(
+                [
+                    [np.cos(ang), 0, np.sin(ang)],
+                    [0, 1, 0],
+                    [-np.sin(ang), 0, np.cos(ang)],
+                ],
+                np.float32,
+            )
+            c2w[:3, 3] = c2w[:3, :3] @ np.array([0, 0, -4.0], np.float32)
+            viewmat = jnp.asarray(np.linalg.inv(c2w))[None]
+            img, _, _ = rasterization(
+                means, quats, scales, opac, colors, viewmat,
+                jnp.asarray(K)[None], width, height, sh_degree=0,
+                isect_capacity=8192,
+            )
+            self.camtoworlds.append(c2w)
+            self.Ks.append(K)
+            self.images.append(np.clip(np.asarray(img[0]), 0, 1))
+        self.camtoworlds = np.stack(self.camtoworlds)
+
+
+class FakeDataset:
+    def __init__(self, parser, split="train"):
+        self.parser = parser
+        n = len(parser.images)
+        idx = np.arange(n)
+        self.indices = idx[: n - 1] if split == "train" else idx[n - 1 :]
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        idx = int(self.indices[i])
+        p = self.parser
+        return {
+            "K": p.Ks[idx],
+            "camtoworld": p.camtoworlds[idx],
+            "image": p.images[idx],
+            "image_id": idx,
+        }
+
+
+@pytest.mark.parametrize("strategy", ["default", "mcmc"])
+def test_training_improves_psnr(rng, strategy):
+    parser = FakeParser(rng)
+    cfg = Config(
+        result_dir="/tmp/gsc_test_run",
+        max_steps=60,
+        sh_degree=0,
+        sh_degree_interval=1,
+        strategy=strategy,
+        mcmc_cap_max=256,
+        capacity=256,
+        isect_capacity=8192,
+    )
+    runner = Runner(
+        cfg,
+        parser=parser,
+        trainset=FakeDataset(parser, "train"),
+        valset=FakeDataset(parser, "val"),
+    )
+    # Force a couple of refine rounds within the short run.
+    object.__setattr__(runner.strategy, "refine_start_iter", 10)
+    object.__setattr__(runner.strategy, "refine_every", 20)
+
+    before = runner.eval("before")["psnr"]
+    losses = runner.train(log_every=0)
+    after = runner.eval("after")["psnr"]
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    assert after > before + 1.0, (before, after)
