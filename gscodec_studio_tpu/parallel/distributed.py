@@ -1,0 +1,208 @@
+"""Multi-chip distributed rendering/training: Gaussian-sharded data
+parallelism over a device mesh ("Grendel-style", arXiv:2406.18533).
+
+TPU-native re-design of the reference's NCCL path
+(/root/reference/gsplat/rendering.py:279-478 + gsplat/distributed.py):
+
+  * Each device owns a shard of the Gaussians (N/G) and a shard of the
+    cameras (C/G). Every device projects *its* Gaussians for *all* cameras,
+    then one ``jax.lax.all_to_all`` re-partitions the projected attributes
+    from camera-major to Gaussian-major: [C, N/G] -> [C/G, N]. The
+    reference's variable-length packed exchange (rendering.py:397-446) is
+    unnecessary on TPU — the dense exchange is fully static-shape, rides the
+    ICI, and is natively differentiable (all_to_all transposes to
+    all_to_all), so gradients flow back to remote Gaussian shards exactly as
+    in the reference's differentiable collectives (distributed.py:170-257).
+  * After the exchange each device runs the ordinary single-chip pipeline
+    (tile binning + Pallas rasterizer) on its cameras.
+  * Losses are psum-reduced; each device's optimizer updates only its local
+    shard — optimizer state is sharded along with the params.
+
+Everything lives inside ``shard_map`` over a 1-D mesh axis "gs". Multi-host
+meshes work unchanged (jax.distributed.initialize + the same code); lay the
+"gs" axis over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from gscodec_studio_tpu.models.splats import splat_activations
+from gscodec_studio_tpu.ops.projection import fully_fused_projection
+from gscodec_studio_tpu.ops.sh import spherical_harmonics
+from gscodec_studio_tpu.ops.isect import isect_tiles
+from gscodec_studio_tpu.ops.rasterize_pallas import rasterize_to_pixels
+from gscodec_studio_tpu.training.losses import combined_loss
+
+AXIS = "gs"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def _exchange(tree):
+    """all_to_all camera-major -> gaussian-major: [C, Nl, ...] -> [C/G, N, ...]
+    (the dense exchange of rendering.py:448-478, one collective per tensor)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.all_to_all(
+            x, AXIS, split_axis=0, concat_axis=1, tiled=True
+        ),
+        tree,
+    )
+
+
+def rasterize_sharded(
+    means,  # [Nl, 3] local shard
+    quats,
+    scales,
+    opacities,  # [Nl]
+    sh_coeffs,  # [Nl, K, 3]
+    viewmats,  # [C, 4, 4] all cameras (replicated)
+    Ks,  # [C, 3, 3]
+    width: int,
+    height: int,
+    sh_degree: int,
+    isect_capacity: int,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    tile_size: int = 16,
+    backgrounds=None,
+):
+    """Inside-shard_map distributed rasterization. Returns this device's
+    [C/G, H, W, 3] renders (cameras are split round-robin contiguous)."""
+    C = viewmats.shape[0]
+
+    radii, means2d, depths, conics, _ = fully_fused_projection(
+        means, None, quats, scales, viewmats, Ks, width, height,
+        near_plane=near_plane, far_plane=far_plane,
+    )
+    radii = jnp.where(opacities[None, :] >= 1.0 / 255.0, radii, 0)
+
+    campos = -jnp.einsum("cij,ci->cj", viewmats[:, :3, :3], viewmats[:, :3, 3])
+    dirs = means[None, :, :] - campos[:, None, :]
+    colors = spherical_harmonics(
+        sh_degree, dirs, jnp.broadcast_to(sh_coeffs[None], (C,) + sh_coeffs.shape),
+        masks=radii > 0,
+    )
+    colors = jnp.clip(colors + 0.5, 0.0, None)
+    opac_cn = jnp.broadcast_to(opacities[None, :], (C, means.shape[0]))
+
+    # The exchange: every tensor [C, Nl, ...] -> [C/G, N, ...].
+    ex = _exchange(
+        dict(radii=radii, means2d=means2d, depths=depths, conics=conics,
+             colors=colors, opacities=opac_cn)
+    )
+
+    tile_width = -(-width // tile_size)
+    tile_height = -(-height // tile_size)
+    Cl = ex["radii"].shape[0]
+    isect = isect_tiles(
+        ex["means2d"], ex["radii"], ex["depths"], tile_size, tile_width,
+        tile_height, isect_capacity,
+    )
+    img, alp = rasterize_to_pixels(
+        ex["means2d"], ex["conics"], ex["colors"], ex["opacities"], isect,
+        None, width, height, tile_size, backgrounds,
+    )
+    return img, alp
+
+
+def distributed_render(
+    mesh: Mesh,
+    splats: Dict[str, jnp.ndarray],  # arrays sharded on axis 0 over AXIS
+    viewmats,  # [C, 4, 4], C divisible by mesh size
+    Ks,
+    width: int,
+    height: int,
+    sh_degree: int = 3,
+    isect_capacity: int = 1 << 20,
+):
+    """User-facing multi-chip render: returns [C, H, W, 3] images."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(), P()),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    def run(splats_shard, viewmats, Ks):
+        means, quats, scales, opac = splat_activations(splats_shard)
+        shs = jnp.concatenate(
+            [splats_shard["sh0"], splats_shard["shN"]], axis=1
+        )
+        img, _ = rasterize_sharded(
+            means, quats, scales, opac, shs, viewmats, Ks, width, height,
+            sh_degree, isect_capacity,
+        )
+        return img
+
+    return run(splats, viewmats, Ks)
+
+
+def distributed_train_step(
+    mesh: Mesh,
+    splats: Dict[str, jnp.ndarray],  # sharded axis 0
+    opt_states,  # sharded like params (per-name dict of optax states)
+    txs,  # per-name optax transforms (host-side, replicated)
+    images,  # [C, H, W, 3], C divisible by G; sharded over AXIS on axis 0
+    viewmats,  # [C, 4, 4] replicated
+    Ks,
+    sh_degree: int = 3,
+    isect_capacity: int = 1 << 20,
+    ssim_lambda: float = 0.2,
+):
+    """One full distributed training step: forward, psum'd loss, backward
+    through the all_to_all, local-shard Adam updates. Returns (splats,
+    opt_states, loss)."""
+    height, width = images.shape[1:3]
+    G = mesh.devices.size
+    cap = splats["means"].shape[0]
+
+    # Optimizer states mix per-Gaussian moments (shard) with scalar counters
+    # (replicate) — build a per-leaf spec tree.
+    opt_specs = jax.tree_util.tree_map(
+        lambda x: P(AXIS) if getattr(x, "ndim", 0) >= 1 and x.shape[0] == cap
+        else P(),
+        opt_states,
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS), opt_specs, P(AXIS), P(), P()),
+        out_specs=(P(AXIS), opt_specs, P()),
+        check_vma=False,
+    )
+    def run(splats_shard, opt_shard, images_shard, viewmats, Ks):
+        def loss_fn(params):
+            means, quats, scales, opac = splat_activations(params)
+            shs = jnp.concatenate([params["sh0"], params["shN"]], axis=1)
+            img, _ = rasterize_sharded(
+                means, quats, scales, opac, shs, viewmats, Ks, width, height,
+                sh_degree, isect_capacity,
+            )
+            local = combined_loss(img, images_shard, ssim_lambda)
+            # mean over all cameras: every shard holds C/G of them
+            return jax.lax.pmean(local, AXIS)
+
+        loss, grads = jax.value_and_grad(loss_fn)(splats_shard)
+        new_params, new_opt = {}, {}
+        for name, p in splats_shard.items():
+            upd, st = txs[name].update(grads[name], opt_shard[name], p)
+            new_params[name] = p + upd
+            new_opt[name] = st
+        return new_params, new_opt, loss
+
+    return run(splats, opt_states, images, viewmats, Ks)

@@ -1,0 +1,71 @@
+"""Distributed rendering/training on the 8-virtual-device CPU mesh
+(replaces the reference's process-spawning tests/_test_distributed.py with a
+deterministic in-process mesh; SURVEY.md §4 note)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import make_test_scene
+from gscodec_studio_tpu.models.splats import create_splats, splat_activations
+from gscodec_studio_tpu.optimizers import build_splat_optimizers
+from gscodec_studio_tpu.parallel import (
+    make_mesh,
+    distributed_render,
+    distributed_train_step,
+)
+from gscodec_studio_tpu.rendering import rasterization
+
+G = 8
+
+
+def _scene(rng, C=G, N=256, W=32, H=32):
+    pts = (rng.random((N, 3)).astype(np.float32) - 0.5) * 2
+    rgb = rng.random((N, 3)).astype(np.float32)
+    splats = create_splats(pts, rgb, cap=N, sh_degree=1, init_opacity=0.6,
+                           init_scale=2.0)
+    s = make_test_scene(rng, C=C, N=N, width=W, height=H)
+    return splats, jnp.asarray(s["viewmats"]), jnp.asarray(s["Ks"]), W, H
+
+
+@pytest.mark.skipif(jax.device_count() < G, reason="needs 8 devices")
+def test_distributed_render_matches_single(rng):
+    splats, viewmats, Ks, W, H = _scene(rng)
+    mesh = make_mesh(G)
+
+    imgs_d = distributed_render(
+        mesh, splats, viewmats, Ks, W, H, sh_degree=1, isect_capacity=8192
+    )
+
+    means, quats, scales, opac = splat_activations(splats)
+    colors = jnp.concatenate([splats["sh0"], splats["shN"]], axis=1)
+    imgs_s, _, _ = rasterization(
+        means, quats, scales, opac, colors, viewmats, Ks, W, H,
+        sh_degree=1, isect_capacity=8192,
+    )
+    np.testing.assert_allclose(
+        np.asarray(imgs_d), np.asarray(imgs_s), rtol=1e-3, atol=2e-3
+    )
+
+
+@pytest.mark.skipif(jax.device_count() < G, reason="needs 8 devices")
+def test_distributed_train_step_runs_and_descends(rng):
+    splats, viewmats, Ks, W, H = _scene(rng)
+    mesh = make_mesh(G)
+    txs, opt_states = build_splat_optimizers(splats)
+    targets = jnp.asarray(rng.random((G, H, W, 3)).astype(np.float32))
+
+    p, o = splats, opt_states
+    losses = []
+    for _ in range(5):
+        p, o, loss = distributed_train_step(
+            mesh, p, o, txs, targets, viewmats, Ks, sh_degree=1,
+            isect_capacity=8192,
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # Params actually changed and stayed finite.
+    assert np.all(np.isfinite(np.asarray(p["means"])))
+    assert not np.allclose(np.asarray(p["means"]), np.asarray(splats["means"]))
