@@ -1,0 +1,133 @@
+"""Training-time compression simulation orchestrator.
+
+Behavioral spec: /root/reference/gsplat/compression_simulation/simulation.py
+CompressionSimulation (:30-324): per-attribute fake quantization with the
+reference's bitwidth/bound tables (:30-59), optional learned factorized
+entropy models whose estimated bits enter the loss as rd_lambda * mean-bits
+(simple_trainer.py:991-1003), and the learnable shN annealing mask.
+
+Functional JAX design: the simulation's *learnable* state (entropy-model
+params, mask logits) lives in a ``sim_params`` pytree that the trainer
+optimizes jointly; ``simulate`` is pure and jit-safe with a traced ``step``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gscodec_studio_tpu.compression_sim.ops import fake_quantize_ste
+from gscodec_studio_tpu.compression_sim.entropy_model import (
+    init_factorized,
+    factorized_bits,
+)
+from gscodec_studio_tpu.compression_sim.ada_mask import (
+    annealing_mask_apply,
+    annealing_mask_sparsity_loss,
+)
+
+# Per-attribute quantization tables (simulation.py:30-59).
+SIM_OPTION = {
+    "means": False, "scales": True, "quats": True, "opacities": True,
+    "sh0": True, "shN": False,
+}
+Q_BITWIDTH = {"scales": 8, "quats": 8, "opacities": 8, "sh0": 8}
+BOUNDS = {
+    "scales": (-10.0, 2.0),
+    "quats": (-1.0, 1.0),
+    "opacities": (-15.0, 15.0),
+    "sh0": (-2.0, 4.0),
+}
+ENTROPY_OPTION = {"scales": True, "quats": True, "opacities": False, "sh0": True}
+# Steps at which each attribute's entropy term activates
+# (simple_trainer.py:170-175 defaults).
+ENTROPY_STEPS = {"quats": 10_000, "scales": 10_000, "sh0": 20_000}
+
+
+@dataclasses.dataclass
+class CompressionSimulation:
+    entropy_model_opt: bool = False
+    shN_ada_mask_opt: bool = False
+    cap: int = 0
+    max_steps: int = 30_000
+    ada_mask_start: int = 10_000
+    q_type: str = "round"
+
+    def init_params(self, key: jax.Array) -> Dict:
+        """Learnable simulation parameters (to be optimized by the trainer)."""
+        out = {}
+        if self.entropy_model_opt:
+            ch = {"scales": 3, "quats": 4, "sh0": 3}
+            ems = {}
+            for name, c in ch.items():
+                key, k = jax.random.split(key)
+                filters = (3, 3) if name in ("scales", "sh0") else (3, 3, 3)
+                ems[name] = init_factorized(k, c, filters)
+            out["entropy"] = ems
+        if self.shN_ada_mask_opt:
+            out["ada_mask"] = jnp.ones((self.cap,), jnp.float32)
+        return out
+
+    def init_state(self):
+        return self.init_params(jax.random.PRNGKey(0))
+
+    def build_optimizer(self, sim_params):
+        """Adam(1e-4) for entropy models + mask (simulation.py:118-149)."""
+        tx = optax.adam(1e-4)
+        return tx, tx.init(sim_params)
+
+    def simulate(
+        self,
+        splats: Dict[str, jnp.ndarray],
+        sim_params: Optional[Dict],
+        step,
+        key: jax.Array,
+    ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray]:
+        """Returns (fake-quantized splats, total mean esti-bits (bpp-style
+        scalar), auxiliary losses)."""
+        new = dict(splats)
+        total_bits = jnp.float32(0.0)
+        aux = jnp.float32(0.0)
+        sim_params = sim_params or {}
+
+        for name in splats:
+            if not SIM_OPTION.get(name, False):
+                continue
+            lo, hi = BOUNDS[name]
+            x = splats[name]
+            shp = x.shape
+            key, k = jax.random.split(key)
+            xq, q_step = fake_quantize_ste(
+                x.reshape(shp[0], -1), lo, hi, Q_BITWIDTH[name], self.q_type, k
+            )
+            new[name] = xq.reshape(shp)
+            if (
+                self.entropy_model_opt
+                and ENTROPY_OPTION.get(name, False)
+                and name in sim_params.get("entropy", {})
+            ):
+                bits = factorized_bits(
+                    sim_params["entropy"][name], xq.reshape(shp[0], -1), q_step
+                )
+                # bpp-style mean, gated on the per-attribute start step
+                gate = (step > ENTROPY_STEPS[name]).astype(jnp.float32)
+                total_bits = total_bits + gate * jnp.mean(bits)
+
+        if self.shN_ada_mask_opt and "ada_mask" in sim_params:
+            gate = (step > self.ada_mask_start).astype(jnp.float32)
+            masked = annealing_mask_apply(
+                sim_params["ada_mask"], splats["shN"], step,
+                total_iters=self.max_steps,
+                annealing_start_iter=self.ada_mask_start,
+            )
+            new["shN"] = jnp.where(gate > 0, masked, splats["shN"])
+            aux = aux + gate * annealing_mask_sparsity_loss(
+                sim_params["ada_mask"], step,
+                total_iters=self.max_steps,
+                annealing_start_iter=self.ada_mask_start,
+            )
+        return new, total_bits, aux

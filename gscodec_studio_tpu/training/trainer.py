@@ -155,6 +155,12 @@ class Runner:
                 cap=cap,
                 max_steps=cfg.max_steps,
             )
+            self.sim_params = self.compression_sim.init_params(
+                jax.random.PRNGKey(cfg.seed + 1)
+            )
+            self.sim_tx, self.sim_opt_state = (
+                self.compression_sim.build_optimizer(self.sim_params)
+            )
 
         self.key = jax.random.PRNGKey(cfg.seed)
         self._train_step = None
@@ -171,20 +177,23 @@ class Runner:
         strategy = self.strategy
         sim = self.compression_sim
 
-        def train_step(params, opt_states, strat_state, sim_state, batch, key,
+        def train_step(params, opt_states, strat_state, sim_bundle, batch, key,
                        step):
+            sim_params, sim_opt_state = (
+                sim_bundle if sim is not None else (None, None)
+            )
             camtoworld = batch["camtoworld"]  # [4,4]
             K = batch["K"]
             target = batch["image"][None]  # [1,H,W,3]
             viewmat = jnp.linalg.inv(camtoworld)[None]
             key, kb, ksim = jax.random.split(key, 3)
 
-            def loss_fn(params, probe):
+            def loss_fn(params, sim_params, probe):
                 esti_bits_total = jnp.float32(0.0)
                 aux_losses = jnp.float32(0.0)
                 if sim is not None:
                     params, esti_bits_total, aux_losses = sim.simulate(
-                        params, sim_state, step, ksim
+                        params, sim_params, step, ksim
                     )
                 means, quats, scales, opac = splat_activations(params)
                 colors = jnp.concatenate(
@@ -218,9 +227,9 @@ class Runner:
 
             probe = jnp.zeros((1, cap, 2), jnp.float32)
             (loss, (img, meta)), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True
-            )(params, probe)
-            param_grads, v_means2d = grads
+                loss_fn, argnums=(0, 1, 2), has_aux=True
+            )(params, sim_params, probe)
+            param_grads, sim_grads, v_means2d = grads
 
             strat_state = strategy.update_state(strat_state, meta, v_means2d)
 
@@ -231,7 +240,15 @@ class Runner:
                 self.txs, opt_states, params, param_grads,
                 visibility=visibility, visible_adam=cfg.visible_adam,
             )
-            return params, opt_states, strat_state, loss, img
+            if sim is not None:
+                upd, sim_opt_state = self.sim_tx.update(
+                    sim_grads, sim_opt_state, sim_params
+                )
+                sim_params = jax.tree_util.tree_map(
+                    lambda p, u: p + u, sim_params, upd
+                )
+            return (params, opt_states, strat_state, (sim_params, sim_opt_state),
+                    loss, img)
 
         return jax.jit(train_step, donate_argnums=(0, 1))
 
@@ -247,8 +264,10 @@ class Runner:
         cfg = self.cfg
         max_steps = max_steps or cfg.max_steps
         strat = self.strategy
-        sim_state = (
-            self.compression_sim.init_state() if self.compression_sim else None
+        sim_bundle = (
+            (self.sim_params, self.sim_opt_state)
+            if self.compression_sim
+            else (None, None)
         )
         order = np.random.default_rng(cfg.seed).permutation(len(self.trainset))
         losses = []
@@ -267,11 +286,10 @@ class Runner:
                 self._step_shape = (h, w, sh_degree)
 
             self.key, k = jax.random.split(self.key)
-            (self.splats, self.opt_states, self.strategy_state, loss, img) = (
-                self._train_step(
-                    self.splats, self.opt_states, self.strategy_state,
-                    sim_state, batch, k, jnp.asarray(step),
-                )
+            (self.splats, self.opt_states, self.strategy_state, sim_bundle,
+             loss, img) = self._train_step(
+                self.splats, self.opt_states, self.strategy_state,
+                sim_bundle, batch, k, jnp.asarray(step),
             )
             losses.append(float(loss))
 
@@ -306,6 +324,8 @@ class Runner:
                     f"step {step}: loss {np.mean(losses[-log_every:]):.4f} "
                     f"({time.time()-t0:.1f}s)"
                 )
+        if self.compression_sim is not None:
+            self.sim_params, self.sim_opt_state = sim_bundle
         return losses
 
     # -- eval -------------------------------------------------------------
@@ -340,3 +360,10 @@ class Runner:
         with open(os.path.join(stats_dir, f"{stage}.json"), "w") as f:
             json.dump(out, f)
         return out
+
+
+    def finalize_sim(self, sim_bundle):
+        """Persist optimized sim params back onto the runner (call after
+        train())."""
+        if self.compression_sim is not None:
+            self.sim_params, self.sim_opt_state = sim_bundle
