@@ -30,4 +30,19 @@ def get_torch_impl():
 
 
 def get_torch_impl_2dgs():
+    """_torch_impl_2dgs imports `gsplat.cuda._torch_impl`; register our
+    path-loaded copy under that name so the import resolves without
+    installing gsplat."""
+    import sys
+    import types
+
+    base = get_torch_impl()
+    if base is None:
+        return None
+    if "gsplat" not in sys.modules:
+        pkg = types.ModuleType("gsplat")
+        cuda = types.ModuleType("gsplat.cuda")
+        sys.modules["gsplat"] = pkg
+        sys.modules["gsplat.cuda"] = cuda
+        sys.modules["gsplat.cuda._torch_impl"] = base
     return _load(REF_TORCH_IMPL_2DGS, "ref_torch_impl_2dgs")
