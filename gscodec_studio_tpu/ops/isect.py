@@ -9,10 +9,14 @@ TPU-native equivalent of the reference's CUB-based pipeline
     detect truncation and raise the capacity between steps). This is the
     static-shape answer to the reference's two-pass count+alloc.
   * The 64-bit radix-sort key (camera|tile|depth bit-packing,
-    isect_tiles.cu:89-103) is replaced by a multi-operand lexicographic
-    ``jax.lax.sort`` on (int32 tile key, float32 depth) — no int64 needed.
+    isect_tiles.cu:89-103) is replaced by a two-operand lexicographic
+    ``jax.lax.sort`` on (int32 tile key, int32 depth bits) — positive-float
+    bits sort like the floats, so no int64 is needed.
   * Offsets come from ``searchsorted`` instead of a dedicated kernel
     (isect_tiles.cu:308-354).
+  * Gather-count discipline (TPU gathers are the expensive primitive here):
+    all per-Gaussian fields consumed by the expansion are packed into ONE
+    int32 table so the expansion does a single row gather.
 
 All outputs are non-differentiable (indices), matching the reference.
 """
@@ -59,12 +63,7 @@ def isect_tiles(
     tile_height: int,
     capacity: int,
 ) -> Intersections:
-    """Bin Gaussians to tiles; see :class:`Intersections`.
-
-    ``tile_keys[i] = cam_id * (TH*TW) + tile_id`` for valid entries, INT32_MAX
-    for padding; entries are sorted by (tile_key, depth) ascending.
-    ``flatten_ids[i] = cam_id * N + gauss_id`` indexes the projected arrays.
-    """
+    """Bin Gaussians to tiles; see :class:`Intersections`."""
     C, N = radii.shape
     n_tiles = tile_width * tile_height
     assert C * n_tiles < INT32_MAX, "tile key overflows int32"
@@ -85,41 +84,49 @@ def isect_tiles(
     total = cum[-1]
     offsets = cum - counts  # exclusive prefix
 
-    # Expand: one row per (gaussian, covered-tile) pair, gaussian-major order.
+    # One packed per-Gaussian table -> ONE row gather in the expansion.
+    depth_bits = jax.lax.bitcast_convert_type(
+        depths.reshape(-1).astype(jnp.float32), jnp.int32
+    )
+    base_key = (
+        (jnp.arange(C, dtype=jnp.int32) * n_tiles)[:, None]
+        + tile_min_y * tile_width
+        + tile_min_x
+    ).reshape(-1)
+    table = jnp.stack(
+        [offsets, nx.reshape(-1), base_key, depth_bits], axis=-1
+    )  # [C*N, 4] i32
+
     src = jnp.repeat(
         jnp.arange(C * N, dtype=jnp.int32), counts, total_repeat_length=capacity
     )  # [cap]
     pos = jnp.arange(capacity, dtype=jnp.int32)
     valid = pos < jnp.minimum(total, capacity)
-    rank = pos - offsets[src]  # position within the gaussian's tile run
 
-    nx_s = jnp.maximum(nx.reshape(-1)[src], 1)
+    g = jnp.take(table, src, axis=0)  # [cap, 4]
+    rank = pos - g[:, 0]
+    nx_s = jnp.maximum(g[:, 1], 1)
     dx = rank % nx_s
     dy = rank // nx_s
-    tx = tile_min_x.reshape(-1)[src] + dx
-    ty = tile_min_y.reshape(-1)[src] + dy
-    cam_id = src // N
-    tile_keys = cam_id * n_tiles + ty * tile_width + tx
+    tile_keys = g[:, 2] + dy * tile_width + dx
     tile_keys = jnp.where(valid, tile_keys, INT32_MAX)
-    isect_depths = jnp.where(valid, depths.reshape(-1)[src], jnp.inf).astype(
-        means2d.dtype
-    )
+    depth_keys = jnp.where(valid, g[:, 3], INT32_MAX)
     flatten_ids = jnp.where(valid, src, 0)
 
-    # Lexicographic sort on (tile_key, depth); padding (INT32_MAX) goes last.
-    # ``pos`` rides along so we can invert the permutation for the VJP's
+    # Lexicographic sort on (tile_key, depth bits); padding sorts last.
+    # ``pos`` rides along to invert the permutation for the VJP's
     # scatter-free segment reduction.
-    tile_keys, isect_depths, flatten_ids, sorted_pos = jax.lax.sort(
-        (tile_keys, isect_depths, flatten_ids, pos), num_keys=2
+    tile_keys, depth_keys, flatten_ids, sorted_pos = jax.lax.sort(
+        (tile_keys, depth_keys, flatten_ids, pos), num_keys=2
     )
+    isect_depths = jax.lax.bitcast_convert_type(depth_keys, jnp.float32)
     n_isects = jnp.minimum(total, capacity).astype(jnp.int32)
 
-    # inv_perm[expansion position] = sorted position (a permutation scatter —
-    # unique indices, fast on TPU).
+    # inv_perm[expansion position] = sorted position (a permutation scatter).
     inv_perm = (
         jnp.zeros((capacity,), jnp.int32)
         .at[sorted_pos]
-        .set(pos, unique_indices=True, indices_are_sorted=False)
+        .set(pos, unique_indices=True)
     )
     exp_offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.minimum(cum, capacity).astype(jnp.int32)]
@@ -138,11 +145,11 @@ def isect_tiles(
 class AlignedIsects(NamedTuple):
     """Tile-aligned view of the sorted intersection list for the Pallas
     rasterizer: every tile's run is padded to a multiple of ``align`` entries
-    so the kernel's chunk DMAs are hardware-aligned (last-dim 128 tiling) and
-    backward writes are exactly collision-free.
+    so the kernel's chunk DMAs are hardware-aligned and backward writes are
+    exactly collision-free.
 
     ids:        [cap2] int32, cam*N + gauss per aligned slot (padding slots
-                hold 0 and are masked by ``ends``)
+                point at the zero pad row and are masked by ``ends``)
     starts:     [T] int32 aligned start of each tile's run (multiple of align)
     ends:       [T] int32 true (unpadded) end of each tile's run
     inv_perm:   [cap] int32 expansion position -> aligned position
@@ -164,7 +171,9 @@ def align_isects(
     align: int = 128,
 ) -> AlignedIsects:
     """Re-lay the sorted intersection list with per-tile runs padded to
-    ``align`` entries (static capacity cap2 = cap + T*align, rounded up)."""
+    ``align`` entries. Gather-only construction: the sorted->aligned map is
+    monotone, so the aligned array is built by inverting it with a
+    searchsorted over tile starts (no big scatters)."""
     cap = isect.tile_keys.shape[0]
     T = C * tile_width * tile_height
     offsets = isect_offset_encode(isect.tile_keys, C, tile_width, tile_height)
@@ -175,17 +184,31 @@ def align_isects(
     )  # [T+1]
     cap2 = ((cap + T * align) // align + 2) * align
 
-    j = jnp.arange(cap, dtype=jnp.int32)
-    valid = j < isect.n_isects
-    tkey = jnp.where(valid, isect.tile_keys, 0)
-    new_pos = astarts[tkey] + (j - offsets[tkey])
-    new_pos = jnp.where(valid, new_pos, cap2 - 1)
-    ids = (
-        jnp.zeros((cap2,), jnp.int32)
-        .at[new_pos]
-        .set(isect.flatten_ids, unique_indices=False)
+    # For each aligned slot s: owning tile t(s), source sorted index j(s).
+    s = jnp.arange(cap2, dtype=jnp.int32)
+    t_of_s = (
+        jnp.searchsorted(astarts[1:], s, side="right").astype(jnp.int32)
+    )  # in [0, T]; == T beyond the last run
+    t_safe = jnp.minimum(t_of_s, T - 1)
+    within = s - jnp.take(astarts, t_safe)
+    j = jnp.take(offsets[:-1], t_safe) + within
+    in_run = (t_of_s < T) & (within < jnp.take(lens, t_safe))
+    ids = jnp.where(
+        in_run, jnp.take(isect.flatten_ids, jnp.clip(j, 0, cap - 1)), -1
     )
-    inv_perm = jnp.take(new_pos, isect.inv_perm)
+    # -1 marks padding; the rasterizer maps it to its zero pad row.
+
+    # expansion -> aligned position: sorted position j maps to
+    # astarts[tile(j)] + (j - offsets[tile(j)]); tile(j) via the sorted keys.
+    jpos = isect.inv_perm  # [cap] expansion -> sorted
+    tkey = jnp.take(isect.tile_keys, jpos)
+    tkey_safe = jnp.clip(tkey, 0, T - 1)
+    new_pos = (
+        jnp.take(astarts[:-1], tkey_safe)
+        + jpos
+        - jnp.take(offsets[:-1], tkey_safe)
+    )
+    inv_perm = jnp.where(tkey < T, new_pos, cap2 - 1)
     return AlignedIsects(
         ids=ids,
         starts=astarts[:-1],

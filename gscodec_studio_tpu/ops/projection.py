@@ -157,6 +157,57 @@ def _inverse2x2(m: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(det[..., None, None] == 0, jnp.zeros_like(inv), inv)
 
 
+def _covar6_from_quat_scale(quats, scales):
+    """Upper-triangular covariance components (xx,xy,xz,yy,yz,zz), fully
+    elementwise — no 3x3 matmuls (TPU: keeps everything on the VPU with no
+    tiny-matrix layout shuffles)."""
+    q = quats / jnp.maximum(
+        jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12
+    )
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0, s1, s2 = scales[..., 0] ** 2, scales[..., 1] ** 2, scales[..., 2] ** 2
+    xx = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    xy = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    xz = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    yy = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    yz = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    zz = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return xx, xy, xz, yy, yz, zz
+
+
+def _rotate_covar6(R, c6):
+    """R Sigma R^T for per-camera R [C,3,3] and shared Sigma components
+    [N] -> camera-frame components [C,N] — elementwise broadcasting of
+    [C,1]x[1,N] products."""
+    xx, xy, xz, yy, yz, zz = (v[None, :] for v in c6)
+    r = [[R[:, i, j, None] for j in range(3)] for i in range(3)]
+
+    def row(i):
+        # (R Sigma) row i components
+        a = r[i][0] * xx + r[i][1] * xy + r[i][2] * xz
+        b = r[i][0] * xy + r[i][1] * yy + r[i][2] * yz
+        c = r[i][0] * xz + r[i][1] * yz + r[i][2] * zz
+        return a, b, c
+
+    rows = [row(i) for i in range(3)]
+
+    def entry(i, j):
+        a, b, c = rows[i]
+        return a * r[j][0] + b * r[j][1] + c * r[j][2]
+
+    return (entry(0, 0), entry(0, 1), entry(0, 2),
+            entry(1, 1), entry(1, 2), entry(2, 2))
+
+
 def fully_fused_projection(
     means: jnp.ndarray,  # [N, 3]
     covars: Optional[jnp.ndarray],  # [N, 3, 3] or None
@@ -184,8 +235,15 @@ def fully_fused_projection(
     TPU note: instead of the packed [nnz] variant (reference
     fully_fused_projection_packed_fwd.cu) we always produce dense [C,N] with a
     radii mask — downstream tile binning compacts via the static-capacity
-    intersection buffer, which is the idiomatic static-shape design.
+    intersection buffer, which is the idiomatic static-shape design. For the
+    pinhole path everything is expanded into elementwise component math (no
+    3x3 einsums) so XLA emits one fused VPU loop.
     """
+    if camera_model == "pinhole" and covars is None:
+        return _fused_projection_pinhole(
+            means, quats, scales, viewmats, Ks, width, height, eps2d,
+            near_plane, far_plane, radius_clip, calc_compensations,
+        )
     if covars is None:
         assert quats is not None and scales is not None
         covars = quat_scale_to_covar(quats, scales)  # [N, 3, 3]
@@ -234,4 +292,85 @@ def fully_fused_projection(
     if calc_compensations:
         compensations = jnp.where(valid, compensations, zero)
         return radii, means2d, depths, conics, compensations
+    return radii, means2d, depths, conics, None
+
+
+def _fused_projection_pinhole(
+    means, quats, scales, viewmats, Ks, width, height, eps2d, near_plane,
+    far_plane, radius_clip, calc_compensations,
+):
+    """Pinhole fast path: the entire chain as elementwise component math."""
+    R = viewmats[:, :3, :3]  # [C, 3, 3]
+    t = viewmats[:, :3, 3]  # [C, 3]
+    mx, my, mz = means[:, 0][None], means[:, 1][None], means[:, 2][None]  # [1,N]
+    xc = R[:, 0, 0, None] * mx + R[:, 0, 1, None] * my + R[:, 0, 2, None] * mz + t[:, 0, None]
+    yc = R[:, 1, 0, None] * mx + R[:, 1, 1, None] * my + R[:, 1, 2, None] * mz + t[:, 1, None]
+    zc = R[:, 2, 0, None] * mx + R[:, 2, 1, None] * my + R[:, 2, 2, None] * mz + t[:, 2, None]
+    depths = zc  # [C, N]
+
+    c6 = _covar6_from_quat_scale(quats, scales)  # [N] x6
+    cxx, cxy, cxz, cyy, cyz, czz = _rotate_covar6(R, c6)  # [C, N] x6
+
+    fx, fy = Ks[:, 0, 0, None], Ks[:, 1, 1, None]
+    cx, cy = Ks[:, 0, 2, None], Ks[:, 1, 2, None]
+    tan_fovx = 0.5 * width / fx
+    tan_fovy = 0.5 * height / fy
+    lim_x_pos = (width - cx) / fx + 0.3 * tan_fovx
+    lim_x_neg = cx / fx + 0.3 * tan_fovx
+    lim_y_pos = (height - cy) / fy + 0.3 * tan_fovy
+    lim_y_neg = cy / fy + 0.3 * tan_fovy
+    rz = 1.0 / zc
+    rz2 = rz * rz
+    tx = zc * jnp.clip(xc * rz, -lim_x_neg, lim_x_pos)
+    ty = zc * jnp.clip(yc * rz, -lim_y_neg, lim_y_pos)
+
+    # J = [[a0, 0, c0], [0, b1, c1]]
+    a0 = fx * rz
+    c0 = -fx * tx * rz2
+    b1 = fy * rz
+    c1 = -fy * ty * rz2
+    cov00 = a0 * a0 * cxx + 2 * a0 * c0 * cxz + c0 * c0 * czz
+    cov01 = a0 * b1 * cxy + a0 * c1 * cxz + c0 * b1 * cyz + c0 * c1 * czz
+    cov11 = b1 * b1 * cyy + 2 * b1 * c1 * cyz + c1 * c1 * czz
+
+    det_orig = cov00 * cov11 - cov01 * cov01
+    cov00 = cov00 + eps2d
+    cov11 = cov11 + eps2d
+    det = cov00 * cov11 - cov01 * cov01
+    compensations = jnp.sqrt(
+        jnp.maximum(0.0, det_orig / jnp.maximum(det, 1e-30))
+    )
+    inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
+    conic_a = cov11 * inv_det
+    conic_b = -cov01 * inv_det
+    conic_c = cov00 * inv_det
+
+    x2d = fx * xc * rz + cx
+    y2d = fy * yc * rz + cy
+
+    b = 0.5 * (cov00 + cov11)
+    v1 = b + jnp.sqrt(jnp.maximum(0.01, b * b - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(v1))
+
+    valid = (depths > near_plane) & (depths < far_plane) & (det > 0)
+    valid &= radius > radius_clip
+    valid &= (x2d + radius > 0) & (x2d - radius < width)
+    valid &= (y2d + radius > 0) & (y2d - radius < height)
+
+    zero = jnp.zeros((), depths.dtype)
+    radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    means2d = jnp.stack(
+        [jnp.where(valid, x2d, zero), jnp.where(valid, y2d, zero)], axis=-1
+    )
+    conics = jnp.stack(
+        [
+            jnp.where(valid, conic_a, zero),
+            jnp.where(valid, conic_b, zero),
+            jnp.where(valid, conic_c, zero),
+        ],
+        axis=-1,
+    )
+    depths = jnp.where(valid, depths, zero)
+    if calc_compensations:
+        return radii, means2d, depths, conics, jnp.where(valid, compensations, zero)
     return radii, means2d, depths, conics, None

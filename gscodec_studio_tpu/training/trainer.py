@@ -78,6 +78,8 @@ class Config:
     save_steps: tuple = (7_000, 30_000)
     seed: int = 42
     visible_adam: bool = False
+    # Steps fused into one device dispatch (host sync amortization)
+    steps_per_dispatch: int = 25
 
     # Compression simulation (training-time; compression_sim/)
     compression_sim: bool = False
@@ -178,7 +180,7 @@ class Runner:
         sim = self.compression_sim
 
         def train_step(params, opt_states, strat_state, sim_bundle, batch, key,
-                       step):
+                       step, means_lr):
             sim_params, sim_opt_state = (
                 sim_bundle if sim is not None else (None, None)
             )
@@ -247,10 +249,34 @@ class Runner:
                 sim_params = jax.tree_util.tree_map(
                     lambda p, u: p + u, sim_params, upd
                 )
+            if isinstance(strategy, MCMCStrategy):
+                params = strategy.inject_noise(params, key, means_lr)
             return (params, opt_states, strat_state, (sim_params, sim_opt_state),
                     loss, img)
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        def train_chunk(params, opt_states, strat_state, sim_bundle, batches,
+                        keys, steps, means_lrs):
+            """lax.scan over S fused steps — one device dispatch
+            (amortizes host-sync/dispatch latency; the TPU-idiomatic loop)."""
+
+            def body(carry, xs):
+                params, opt_states, strat_state, sim_bundle = carry
+                batch, key, step, lr = xs
+                params, opt_states, strat_state, sim_bundle, loss, _ = (
+                    train_step(params, opt_states, strat_state, sim_bundle,
+                               batch, key, step, lr)
+                )
+                return (params, opt_states, strat_state, sim_bundle), loss
+
+            (params, opt_states, strat_state, sim_bundle), losses = (
+                jax.lax.scan(
+                    body, (params, opt_states, strat_state, sim_bundle),
+                    (batches, keys, steps, means_lrs),
+                )
+            )
+            return params, opt_states, strat_state, sim_bundle, losses
+
+        return jax.jit(train_chunk, donate_argnums=(0, 1))
 
     def _means_lr(self, step: int) -> float:
         base = PARAM_LRS["means"] * self.scene_scale * math.sqrt(
@@ -272,26 +298,45 @@ class Runner:
         order = np.random.default_rng(cfg.seed).permutation(len(self.trainset))
         losses = []
         t0 = time.time()
-        for step in range(max_steps):
-            data = self.trainset[int(order[step % len(order)])]
-            batch = {
-                "camtoworld": jnp.asarray(data["camtoworld"]),
-                "K": jnp.asarray(data["K"]),
-                "image": jnp.asarray(data["image"]),
+        step = 0
+        next_log = 0
+        while step < max_steps:
+            # Chunk ends at the next refine / sh-degree / end boundary.
+            S = min(cfg.steps_per_dispatch, max_steps - step)
+            for interval in (strat.refine_every, cfg.sh_degree_interval,
+                             getattr(strat, "reset_every", 1 << 30)):
+                to_b = interval - (step % interval)
+                S = min(S, to_b)
+
+            datas = [
+                self.trainset[int(order[(step + i) % len(order)])]
+                for i in range(S)
+            ]
+            batches = {
+                "camtoworld": jnp.asarray(
+                    np.stack([d["camtoworld"] for d in datas])
+                ),
+                "K": jnp.asarray(np.stack([d["K"] for d in datas])),
+                "image": jnp.asarray(np.stack([d["image"] for d in datas])),
             }
-            h, w = data["image"].shape[:2]
+            h, w = datas[0]["image"].shape[:2]
             sh_degree = min(step // cfg.sh_degree_interval, cfg.sh_degree)
-            if self._train_step is None or self._step_shape != (h, w, sh_degree):
+            if self._train_step is None or self._step_shape != (h, w, sh_degree, S):
                 self._train_step = self._build_train_step(h, w, sh_degree)
-                self._step_shape = (h, w, sh_degree)
+                self._step_shape = (h, w, sh_degree, S)
 
             self.key, k = jax.random.split(self.key)
-            (self.splats, self.opt_states, self.strategy_state, sim_bundle,
-             loss, img) = self._train_step(
-                self.splats, self.opt_states, self.strategy_state,
-                sim_bundle, batch, k, jnp.asarray(step),
+            keys = jax.random.split(k, S)
+            steps = jnp.arange(step, step + S)
+            lrs = jnp.asarray(
+                [self._means_lr(step + i) for i in range(S)], jnp.float32
             )
-            losses.append(float(loss))
+            (self.splats, self.opt_states, self.strategy_state, sim_bundle,
+             chunk_losses) = self._train_step(
+                self.splats, self.opt_states, self.strategy_state,
+                sim_bundle, batches, keys, steps, lrs,
+            )
+            step += S
 
             # Densification / relocation schedule (host-side decisions).
             if (
@@ -306,24 +351,24 @@ class Runner:
                         jnp.asarray(step), k,
                     )
                 )
-            if isinstance(strat, MCMCStrategy):
-                self.key, k = jax.random.split(self.key)
-                self.splats = strat.inject_noise(
-                    self.splats, k, self._means_lr(step)
-                )
             if (
                 isinstance(strat, DefaultStrategy)
                 and step % strat.reset_every == 0
-                and step > 0
+                and step < max_steps
             ):
                 self.splats, self.opt_states = strat.maybe_reset_opacity(
                     self.splats, self.opt_states, step
                 )
-            if log_every and step % log_every == 0:
+            if log_every and step >= next_log:
+                # Host sync only here (keeps the device pipeline deep).
+                losses.extend(np.asarray(chunk_losses).tolist())
                 print(
-                    f"step {step}: loss {np.mean(losses[-log_every:]):.4f} "
-                    f"({time.time()-t0:.1f}s)"
+                    f"step {step}: loss {losses[-1]:.4f} "
+                    f"({time.time()-t0:.1f}s)", flush=True
                 )
+                next_log = step + log_every
+            else:
+                losses.extend(np.asarray(chunk_losses).tolist())
         if self.compression_sim is not None:
             self.sim_params, self.sim_opt_state = sim_bundle
         return losses
