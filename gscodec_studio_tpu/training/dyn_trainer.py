@@ -1,0 +1,253 @@
+"""Dynamic-splat trainer (temporal Gaussians on multiview video).
+
+Behavioral spec: /root/reference/examples/simple_trainer_dyngs.py — the
+static trainer's loop with (a) per-sample timestamps, (b) the temporal
+forward (models/temporal.py), (c) per-splat feature colors instead of SH,
+and (d) per-frame extraction feeding the sequence codec. Kept deliberately
+close to training.trainer.Runner's structure (scan-batched dispatches).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gscodec_studio_tpu.models.splats import PARAM_LRS
+from gscodec_studio_tpu.models.temporal import (
+    create_dyn_splats,
+    slice_at_time,
+    dyn_colors,
+)
+from gscodec_studio_tpu.optimizers import build_splat_optimizers
+from gscodec_studio_tpu.optimizers.builders import apply_updates
+from gscodec_studio_tpu.rendering import rasterization
+from gscodec_studio_tpu.strategy import DefaultStrategy, MCMCStrategy
+from gscodec_studio_tpu.training.losses import combined_loss, psnr, ssim
+
+DYN_PARAM_LRS = dict(
+    PARAM_LRS,
+    trbf_center=1e-3,
+    trbf_scale=1e-3,
+    motion=1.6e-4,  # scaled like means
+    omega=1e-3,
+    features_dir=2.5e-3,
+    features_time=2.5e-3,
+)
+
+
+@dataclass
+class DynConfig:
+    result_dir: str = "results/dyn"
+    max_steps: int = 30_000
+    capacity: Optional[int] = None
+    isect_capacity: Optional[int] = None
+    ssim_lambda: float = 0.2
+    strategy: str = "mcmc"
+    mcmc_cap_max: int = 200_000
+    seed: int = 42
+    steps_per_dispatch: int = 10
+    near_plane: float = 0.01
+    far_plane: float = 1e10
+    temporal_visibility_mask: bool = True
+
+
+class DynRunner:
+    """Trains {means, quats, scales, opacities, trbf_*, motion, omega,
+    colors, features_*} against (image, camtoworld, K, timestamp) samples."""
+
+    def __init__(self, cfg: DynConfig, points, rgbs, trainset, valset,
+                 scene_scale: float = 1.0):
+        self.cfg = cfg
+        self.trainset = trainset
+        self.valset = valset
+        self.scene_scale = scene_scale
+
+        n_init = len(points)
+        if cfg.strategy == "mcmc":
+            cap = cfg.mcmc_cap_max
+            self.strategy = MCMCStrategy(cap_max=cap)
+        else:
+            cap = cfg.capacity or 4 * n_init
+            self.strategy = DefaultStrategy()
+        cap = max(cap, n_init)
+        self.splats = create_dyn_splats(points, rgbs, cap=cap, seed=cfg.seed)
+
+        import math
+        import optax
+
+        self.txs, self.opt_states = {}, {}
+        for name, p in self.splats.items():
+            lr = DYN_PARAM_LRS.get(name, 1e-3)
+            if name in ("means", "motion"):
+                lr = optax.exponential_decay(
+                    lr * scene_scale, transition_steps=cfg.max_steps,
+                    decay_rate=0.01,
+                )
+            tx = optax.adam(lr, eps=1e-15)
+            self.txs[name] = tx
+            self.opt_states[name] = tx.init(p)
+
+        if cfg.strategy == "mcmc":
+            self.strategy_state = self.strategy.initialize_state(
+                cap, scene_scale, n_init=n_init
+            )
+        else:
+            self.strategy_state = self.strategy.initialize_state(cap, scene_scale)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self._train_step = None
+        self._step_shape = None
+        self._refine = jax.jit(self.strategy.refine)
+        os.makedirs(cfg.result_dir, exist_ok=True)
+
+    def _render(self, params, camtoworld, K, t, width, height, isect_capacity):
+        sliced, tw = slice_at_time(params, t)
+        viewmat = jnp.linalg.inv(camtoworld)[None]
+        campos = camtoworld[:3, 3]
+        dirs = sliced["means"] - campos[None, :]
+        colors = dyn_colors(params, dirs, tw)  # [cap, 3]
+        opac = jax.nn.sigmoid(sliced["opacities"]) * tw
+        if self.cfg.temporal_visibility_mask:
+            opac = jnp.where(tw > 0.05, opac, 0.0)
+        img, alpha, meta = rasterization(
+            sliced["means"], sliced["quats"], jnp.exp(sliced["scales"]),
+            opac, jax.nn.sigmoid(colors), viewmat, K[None], width, height,
+            near_plane=self.cfg.near_plane, far_plane=self.cfg.far_plane,
+            sh_degree=None, isect_capacity=isect_capacity,
+        )
+        return img, alpha, meta
+
+    def _build_train_step(self, height, width):
+        cfg = self.cfg
+        cap = self.splats["means"].shape[0]
+        isect_capacity = cfg.isect_capacity or max(cap * 4, 1 << 19)
+        strategy = self.strategy
+
+        def one_step(params, opt_states, strat_state, batch, key, step, lr):
+            def loss_fn(params):
+                img, alpha, meta = self._render(
+                    params, batch["camtoworld"], batch["K"],
+                    batch["timestamp"], width, height, isect_capacity,
+                )
+                return combined_loss(
+                    img, batch["image"][None], cfg.ssim_lambda
+                ), meta
+
+            (loss, meta), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            params, opt_states = apply_updates(
+                self.txs, opt_states, params, grads
+            )
+            if isinstance(strategy, MCMCStrategy):
+                params = strategy.inject_noise(params, key, lr)
+            return params, opt_states, strat_state, loss
+
+        def chunk(params, opt_states, strat_state, batches, keys, steps, lrs):
+            def body(carry, xs):
+                p, o, s = carry
+                batch, key, step, lr = xs
+                p, o, s, loss = one_step(p, o, s, batch, key, step, lr)
+                return (p, o, s), loss
+
+            (params, opt_states, strat_state), losses = jax.lax.scan(
+                body, (params, opt_states, strat_state),
+                (batches, keys, steps, lrs),
+            )
+            return params, opt_states, strat_state, losses
+
+        return jax.jit(chunk, donate_argnums=(0, 1))
+
+    def train(self, max_steps: Optional[int] = None, log_every: int = 100):
+        cfg = self.cfg
+        max_steps = max_steps or cfg.max_steps
+        strat = self.strategy
+        order = np.random.default_rng(cfg.seed).permutation(len(self.trainset))
+        losses = []
+        t0 = time.time()
+        step = 0
+        while step < max_steps:
+            S = min(cfg.steps_per_dispatch, max_steps - step,
+                    strat.refine_every - (step % strat.refine_every))
+            datas = [
+                self.trainset[int(order[(step + i) % len(order)])]
+                for i in range(S)
+            ]
+            batches = {
+                "camtoworld": jnp.asarray(
+                    np.stack([d["camtoworld"] for d in datas])
+                ),
+                "K": jnp.asarray(np.stack([d["K"] for d in datas])),
+                "image": jnp.asarray(np.stack([d["image"] for d in datas])),
+                "timestamp": jnp.asarray(
+                    np.array([d["timestamp"] for d in datas], np.float32)
+                ),
+            }
+            h, w = datas[0]["image"].shape[:2]
+            if self._train_step is None or self._step_shape != (h, w, S):
+                self._train_step = self._build_train_step(h, w)
+                self._step_shape = (h, w, S)
+            self.key, k = jax.random.split(self.key)
+            keys = jax.random.split(k, S)
+            steps = jnp.arange(step, step + S)
+            lrs = jnp.asarray(
+                [
+                    DYN_PARAM_LRS["means"]
+                    * self.scene_scale
+                    * 0.01 ** ((step + i) / cfg.max_steps)
+                    for i in range(S)
+                ],
+                jnp.float32,
+            )
+            (self.splats, self.opt_states, self.strategy_state, chunk_losses
+             ) = self._train_step(
+                self.splats, self.opt_states, self.strategy_state, batches,
+                keys, steps, lrs,
+            )
+            step += S
+            losses.extend(np.asarray(chunk_losses).tolist())
+            if (
+                step > strat.refine_start_iter
+                and step < strat.refine_stop_iter
+                and step % strat.refine_every == 0
+            ):
+                self.key, k = jax.random.split(self.key)
+                self.splats, self.opt_states, self.strategy_state = (
+                    self._refine(
+                        self.splats, self.opt_states, self.strategy_state,
+                        jnp.asarray(step), k,
+                    )
+                )
+            if log_every and step % log_every < cfg.steps_per_dispatch:
+                print(f"step {step}: loss {losses[-1]:.4f} "
+                      f"({time.time()-t0:.1f}s)", flush=True)
+        return losses
+
+    def eval(self):
+        out = {"psnr": [], "ssim": []}
+        for i in range(len(self.valset)):
+            d = self.valset[i]
+            h, w = d["image"].shape[:2]
+            img, _, _ = self._render(
+                self.splats, jnp.asarray(d["camtoworld"]), jnp.asarray(d["K"]),
+                jnp.asarray(d["timestamp"]), w, h,
+                self.cfg.isect_capacity or 1 << 19,
+            )
+            img = jnp.clip(img[0], 0, 1)
+            tgt = jnp.asarray(d["image"])
+            out["psnr"].append(float(psnr(img, tgt)))
+            out["ssim"].append(float(ssim(img[None], tgt[None])))
+        return {k: float(np.mean(v)) for k, v in out.items()}
+
+    def export_frames(self, timestamps):
+        """Per-frame static splats for SeqHevc-style coding
+        (dyngs:1158-1271 -> compress_ply_sequence.py)."""
+        from gscodec_studio_tpu.models.temporal import extract_frame
+
+        return [extract_frame(self.splats, t) for t in timestamps]
