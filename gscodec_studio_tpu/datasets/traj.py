@@ -56,7 +56,7 @@ def generate_ellipse_path(
     eye = np.stack(
         [
             center[0] + radii[0] * np.cos(theta),
-            center[1] + height_offset,
+            np.full_like(theta, center[1] + height_offset),
             center[2] + radii[2] * np.sin(theta),
         ],
         axis=-1,
