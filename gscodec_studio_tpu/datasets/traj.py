@@ -7,7 +7,8 @@ import numpy as np
 
 
 def _normalize(v):
-    return v / np.linalg.norm(v)
+    n = np.linalg.norm(v)
+    return v / n if n > 1e-12 else np.array([0.0, 0.0, 1.0])
 
 
 def look_at(position, target, up=np.array([0.0, -1.0, 0.0])):
@@ -51,6 +52,9 @@ def generate_ellipse_path(
     pos = camtoworlds[:, :3, 3]
     center = pos.mean(axis=0)
     radii = np.percentile(np.abs(pos - center), 90, axis=0)
+    # degenerate axes fall back to the overall scene radius
+    overall = max(np.linalg.norm(pos - center, axis=-1).max(), 1e-6)
+    radii = np.where(radii < 1e-6 * overall, overall, radii)
     theta = np.linspace(0, 2 * np.pi, n_frames, endpoint=False)
     z = center[2] + radii[2] * variation * np.sin(theta)
     eye = np.stack(

@@ -171,9 +171,12 @@ def align_isects(
     align: int = 128,
 ) -> AlignedIsects:
     """Re-lay the sorted intersection list with per-tile runs padded to
-    ``align`` entries. Gather-only construction: the sorted->aligned map is
-    monotone, so the aligned array is built by inverting it with a
-    searchsorted over tile starts (no big scatters)."""
+    ``align`` entries.
+
+    Gather-count discipline: the sorted->aligned map is
+    new_pos[j] = j + delta[tile_keys[j]] with delta[t] = astarts[t] -
+    offsets[t] — ONE gather from a [T]-sized table plus one [cap] scatter
+    (everything else is [T]-sized arithmetic)."""
     cap = isect.tile_keys.shape[0]
     T = C * tile_width * tile_height
     offsets = isect_offset_encode(isect.tile_keys, C, tile_width, tile_height)
@@ -184,31 +187,24 @@ def align_isects(
     )  # [T+1]
     cap2 = ((cap + T * align) // align + 2) * align
 
-    # For each aligned slot s: owning tile t(s), source sorted index j(s).
-    s = jnp.arange(cap2, dtype=jnp.int32)
-    t_of_s = (
-        jnp.searchsorted(astarts[1:], s, side="right").astype(jnp.int32)
-    )  # in [0, T]; == T beyond the last run
-    t_safe = jnp.minimum(t_of_s, T - 1)
-    within = s - jnp.take(astarts, t_safe)
-    j = jnp.take(offsets[:-1], t_safe) + within
-    in_run = (t_of_s < T) & (within < jnp.take(lens, t_safe))
-    ids = jnp.where(
-        in_run, jnp.take(isect.flatten_ids, jnp.clip(j, 0, cap - 1)), -1
+    # delta[T] entry for padding keys routes them to the dump slot.
+    delta = jnp.concatenate(
+        [astarts[:-1] - offsets[:-1], jnp.full((1,), cap2 - 1, jnp.int32)]
+    )  # [T+1]
+    j = jnp.arange(cap, dtype=jnp.int32)
+    tkey = jnp.minimum(isect.tile_keys, T)  # clamp INT32_MAX padding -> T
+    new_pos = jnp.where(
+        tkey < T, j + jnp.take(delta, tkey), cap2 - 1
     )
-    # -1 marks padding; the rasterizer maps it to its zero pad row.
+    ids = (
+        jnp.full((cap2,), -1, jnp.int32)
+        .at[new_pos]
+        .set(isect.flatten_ids)
+    )
+    # (all padding entries collide on the dump slot cap2-1, which no kernel
+    # chunk ever consumes; -1 marks alignment padding inside runs.)
 
-    # expansion -> aligned position: sorted position j maps to
-    # astarts[tile(j)] + (j - offsets[tile(j)]); tile(j) via the sorted keys.
-    jpos = isect.inv_perm  # [cap] expansion -> sorted
-    tkey = jnp.take(isect.tile_keys, jpos)
-    tkey_safe = jnp.clip(tkey, 0, T - 1)
-    new_pos = (
-        jnp.take(astarts[:-1], tkey_safe)
-        + jpos
-        - jnp.take(offsets[:-1], tkey_safe)
-    )
-    inv_perm = jnp.where(tkey < T, new_pos, cap2 - 1)
+    inv_perm = jnp.take(new_pos, isect.inv_perm)
     return AlignedIsects(
         ids=ids,
         starts=astarts[:-1],
