@@ -60,6 +60,12 @@ MAX_ALPHA = 0.999
 
 K_CHUNK = 128  # gaussians per grid step == the isect alignment unit
 
+# Backward per-Gaussian reduction: "cumsum" (gather + prefix-sum differences,
+# fully scatter-free) or "scatter" (one deterministic scatter-add by slot id).
+# Both are deterministic; pick by measurement per platform.
+SEGRED_MODE = "scatter"
+
+
 
 class RasterCfg(NamedTuple):
     C: int
@@ -416,14 +422,14 @@ def _rasterize_packed_fwd(cfg, flat_attrs, aligned_ids, chunk_tile, starts,
     visited = (ends > starts)[:, None, None]
     tile_colors = jnp.where(visited, tile_colors[: cfg.n_tiles], 0.0)
     tile_alphas = jnp.where(visited, tile_alphas[: cfg.n_tiles], 0.0)
-    res = (packed, chunk_tile, starts, ends, tile_colors, tile_alphas,
-           exp_offsets, inv_perm, n_isects)
+    res = (packed, aligned_ids, chunk_tile, starts, ends, tile_colors,
+           tile_alphas, exp_offsets, inv_perm, n_isects)
     return (tile_colors, tile_alphas), res
 
 
 def _rasterize_packed_bwd(cfg, res, cot):
-    (packed, chunk_tile, starts, ends, tile_colors, tile_alphas, exp_offsets,
-     inv_perm, n_isects) = res
+    (packed, aligned_ids_res, chunk_tile, starts, ends, tile_colors,
+     tile_alphas, exp_offsets, inv_perm, n_isects) = res
     v_tile_colors, v_tile_alphas = cot
     pad = lambda x: jnp.concatenate(
         [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0
@@ -434,19 +440,31 @@ def _rasterize_packed_bwd(cfg, res, cot):
         pad(v_tile_alphas)
     )  # [cap2, D]
 
-    # Segment reduction without scatters: aligned -> expansion order via the
-    # precomputed inverse permutation (a gather), then prefix-sum differences
-    # over the contiguous per-Gaussian runs.
-    v_exp = jnp.take(v_packed, inv_perm, axis=0)  # [cap, D]
-    pos = jnp.arange(cfg.cap, dtype=jnp.int32)
-    v_exp = jnp.where((pos < n_isects)[:, None], v_exp, 0.0)
-    csum = jnp.concatenate(
-        [jnp.zeros((1, v_exp.shape[1]), v_exp.dtype), jnp.cumsum(v_exp, axis=0)],
-        axis=0,
-    )
-    v_flat = jnp.take(csum, exp_offsets[1:], axis=0) - jnp.take(
-        csum, exp_offsets[:-1], axis=0
-    )  # [M, D]
+    M = exp_offsets.shape[0] - 1
+    if SEGRED_MODE == "scatter":
+        # One deterministic scatter-add by aligned slot ids (padding -1 and
+        # any dropped slots land on the dump row M).
+        ids = jnp.where(aligned_ids_res >= 0, aligned_ids_res, M)
+        v_flat = (
+            jnp.zeros((M + 1, v_packed.shape[1]), v_packed.dtype)
+            .at[ids]
+            .add(v_packed)[:M]
+        )
+    else:
+        # Segment reduction without scatters: aligned -> expansion order via
+        # the precomputed inverse permutation (a gather), then prefix-sum
+        # differences over the contiguous per-Gaussian expansion runs.
+        v_exp = jnp.take(v_packed, inv_perm, axis=0)  # [cap, D]
+        pos = jnp.arange(cfg.cap, dtype=jnp.int32)
+        v_exp = jnp.where((pos < n_isects)[:, None], v_exp, 0.0)
+        csum = jnp.concatenate(
+            [jnp.zeros((1, v_exp.shape[1]), v_exp.dtype),
+             jnp.cumsum(v_exp, axis=0)],
+            axis=0,
+        )
+        v_flat = jnp.take(csum, exp_offsets[1:], axis=0) - jnp.take(
+            csum, exp_offsets[:-1], axis=0
+        )  # [M, D]
 
     f0 = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
     return (
