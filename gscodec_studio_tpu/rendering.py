@@ -210,6 +210,126 @@ def rasterization(
     return render_colors, render_alphas, meta
 
 
+def rasterization_2dgs(
+    means: jnp.ndarray,  # [N, 3]
+    quats: jnp.ndarray,  # [N, 4]
+    scales: jnp.ndarray,  # [N, 3] (z ignored)
+    opacities: jnp.ndarray,  # [N]
+    colors: jnp.ndarray,  # [(C,) N, D] or SH [(C,) N, K, 3]
+    viewmats: jnp.ndarray,  # [C, 4, 4]
+    Ks: jnp.ndarray,  # [C, 3, 3]
+    width: int,
+    height: int,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    sh_degree: Optional[int] = None,
+    tile_size: int = 16,
+    backgrounds: Optional[jnp.ndarray] = None,
+    render_mode: str = "RGB",
+    distloss: bool = False,
+    depth_mode: str = "expected",
+):
+    """2DGS (surfel) rendering — reference ``rasterization_2dgs``
+    (rendering.py:1002-1321). Returns (render_colors, render_alphas,
+    render_normals, surf_normals, render_distort, render_median, meta).
+
+    Backend note: currently routes through the pure-jnp oracle rasterizer
+    (O(C*N*H*W) memory) — correct and differentiable, sized for moderate
+    scenes; the Pallas 2DGS tile kernel is the planned fast path (the 3DGS
+    kernel's chunk/composite skeleton applies unchanged, with the ray-plane
+    intersection replacing the conic in _chunk_geometry).
+    """
+    from gscodec_studio_tpu.ops.projection_2dgs import (
+        fully_fused_projection_2dgs,
+    )
+    from gscodec_studio_tpu.ops.rasterize_ref_2dgs import (
+        rasterize_to_pixels_2dgs_ref,
+    )
+
+    C = viewmats.shape[0]
+    N = means.shape[0]
+    radii, means2d, depths, ray_transforms, normals = (
+        fully_fused_projection_2dgs(
+            means, quats, scales, viewmats, Ks, width, height,
+            near_plane, far_plane, radius_clip,
+        )
+    )
+    radii = jnp.where(opacities[None, :] >= 1.0 / 255.0, radii, 0)
+    opacities_cn = jnp.broadcast_to(opacities[None, :], (C, N))
+
+    if sh_degree is None:
+        colors_cn = (
+            jnp.broadcast_to(colors[None], (C, N, colors.shape[-1]))
+            if colors.ndim == 2
+            else colors
+        )
+    else:
+        campos = -jnp.einsum("cij,ci->cj", viewmats[:, :3, :3], viewmats[:, :3, 3])
+        dirs = means[None, :, :] - campos[:, None, :]
+        shs = colors if colors.ndim == 4 else jnp.broadcast_to(
+            colors[None], (C,) + colors.shape
+        )
+        colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=radii > 0)
+        colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)
+
+    # Depth channel rides along for distortion/median (2dgs_fwd.cu depth use).
+    colors_cn = jnp.concatenate([colors_cn, depths[..., None]], axis=-1)
+
+    render, alphas, render_normals, render_distort, render_median = (
+        rasterize_to_pixels_2dgs_ref(
+            means2d, ray_transforms, colors_cn, opacities_cn, normals, depths,
+            radii, width, height, tile_size, backgrounds,
+        )
+    )
+    render_colors, accum_depth = render[..., :-1], render[..., -1:]
+    if render_mode in ("ED", "RGB+ED"):
+        accum_depth = accum_depth / jnp.clip(alphas, 1e-10, None)
+    if depth_mode == "median":
+        depth_out = render_median
+    else:
+        depth_out = accum_depth
+    surf_normals = depth_to_normal(depth_out, viewmats, Ks)
+
+    meta = dict(
+        radii=radii, means2d=means2d, depths=depths,
+        ray_transforms=ray_transforms, normals=normals, width=width,
+        height=height, n_cameras=C, gradient_2dgs=means2d,
+    )
+    if render_mode in ("RGB+D", "RGB+ED"):
+        render_colors = jnp.concatenate([render_colors, depth_out], axis=-1)
+    elif render_mode in ("D", "ED"):
+        render_colors = depth_out
+    return (render_colors, alphas, render_normals, surf_normals,
+            render_distort, render_median, meta)
+
+
+def depth_to_normal(depths, viewmats, Ks):
+    """Per-pixel normals from finite differences of the un-projected depth
+    map (reference rendering.py depth_to_normal used for the
+    normal-consistency loss)."""
+    C, H, W, _ = depths.shape
+    fx = Ks[:, 0, 0][:, None, None]
+    fy = Ks[:, 1, 1][:, None, None]
+    cx = Ks[:, 0, 2][:, None, None]
+    cy = Ks[:, 1, 2][:, None, None]
+    xs = jnp.arange(W, dtype=depths.dtype)[None, None, :] + 0.5
+    ys = jnp.arange(H, dtype=depths.dtype)[None, :, None] + 0.5
+    z = depths[..., 0]
+    X = (xs - cx) / fx * z
+    Y = (ys - cy) / fy * z
+    pts = jnp.stack([X, Y, z], axis=-1)  # camera-space [C,H,W,3]
+    dx = pts[:, 1:-1, 2:] - pts[:, 1:-1, :-2]
+    dy = pts[:, 2:, 1:-1] - pts[:, :-2, 1:-1]
+    n = jnp.cross(dx, dy)
+    n = n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8, None)
+    out = jnp.zeros_like(pts)
+    out = out.at[:, 1:-1, 1:-1].set(n)
+    # rotate into world frame (normals compared against world-frame splat
+    # normals rotated to camera by the caller; keep camera frame here)
+    return out
+
+
 def _rasterize_backend(
     rasterizer,
     means2d,

@@ -98,3 +98,24 @@ def test_rasterize_2dgs_outputs_sane(rng, test_scene):
     )(colors, opac, M)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_rasterization_2dgs_api(rng, test_scene):
+    from gscodec_studio_tpu.rendering import rasterization_2dgs
+
+    s = test_scene
+    W, H = 40, 32
+    N = 200
+    out = rasterization_2dgs(
+        jnp.asarray(s["means"][:N]), jnp.asarray(s["quats"][:N]),
+        jnp.asarray(s["scales"][:N]),
+        jnp.asarray((0.3 + 0.5 * rng.random(N)).astype(np.float32)),
+        jnp.asarray(rng.random((N, 1, 3)).astype(np.float32)),
+        jnp.asarray(s["viewmats"][:1]), jnp.asarray(s["Ks"][:1]), W, H,
+        sh_degree=0, render_mode="RGB+ED",
+    )
+    colors, alphas, normals, surf_normals, distort, median, meta = out
+    assert colors.shape == (1, H, W, 4)
+    assert normals.shape == (1, H, W, 3)
+    assert surf_normals.shape == (1, H, W, 3)
+    assert np.isfinite(np.asarray(colors)).all()
