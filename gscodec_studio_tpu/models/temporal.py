@@ -105,8 +105,9 @@ def dyn_colors(
 ) -> jnp.ndarray:
     """Time/view-conditioned per-splat features (dyngs rasterize_splats
     :506-524): base color + dir feature * <dir> + time feature * trbf."""
-    n = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    d = dirs / jnp.maximum(n, 1e-8)
+    d = dirs * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-12)
+    )
     return (
         splats["colors"]
         + splats["features_dir"] * d

@@ -322,7 +322,12 @@ def depth_to_normal(depths, viewmats, Ks):
     dx = pts[:, 1:-1, 2:] - pts[:, 1:-1, :-2]
     dy = pts[:, 2:, 1:-1] - pts[:, :-2, 1:-1]
     n = jnp.cross(dx, dy)
-    n = n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8, None)
+    # rsqrt of the clamped squared norm: finite gradients at n == 0 (a bare
+    # jnp.linalg.norm has a NaN gradient there, which would poison the whole
+    # backward pass through 0*NaN).
+    n = n * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(n * n, axis=-1, keepdims=True), 1e-12)
+    )
     out = jnp.zeros_like(pts)
     out = out.at[:, 1:-1, 1:-1].set(n)
     # rotate into world frame (normals compared against world-frame splat

@@ -1,0 +1,119 @@
+"""2DGS trainer: surfel splats with normal-consistency + distortion losses.
+
+Behavioral spec: /root/reference/examples/simple_trainer_2dgs.py (974 LoC):
+the static trainer's loop where the render is ``rasterization_2dgs`` and the
+loss adds
+  normal_loss = lambda_n * (1 - dot(render_normal, surf_normal))
+  dist_loss   = lambda_d * mean(render_distort)
+with the reference's default lambdas (normal 5e-2 after 7k steps, distortion
+1e-2 after 3k steps).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gscodec_studio_tpu.models.splats import splat_activations
+from gscodec_studio_tpu.optimizers.builders import apply_updates
+from gscodec_studio_tpu.rendering import rasterization_2dgs
+from gscodec_studio_tpu.training.trainer import Config, Runner
+from gscodec_studio_tpu.training.losses import combined_loss
+
+
+@dataclass
+class Config2DGS(Config):
+    normal_lambda: float = 5e-2
+    normal_start_iter: int = 7_000
+    dist_lambda: float = 1e-2
+    dist_start_iter: int = 3_000
+
+
+class Runner2DGS(Runner):
+    """Overrides the loss/render with the 2DGS pipeline; densification,
+    optimizers, checkpoints, and codecs are shared with the 3DGS Runner."""
+
+    def _build_train_step(self, height: int, width: int, sh_degree: int):
+        cfg = self.cfg
+        cap = self.splats["means"].shape[0]
+        strategy = self.strategy
+
+        def train_step(params, opt_states, strat_state, sim_bundle, batch,
+                       key, step, means_lr):
+            viewmat = jnp.linalg.inv(batch["camtoworld"])[None]
+            target = batch["image"][None]
+
+            def loss_fn(params, probe):
+                means, quats, scales, opac = splat_activations(params)
+                colors = jnp.concatenate(
+                    [params["sh0"], params["shN"]], axis=1
+                )
+                (render, alphas, render_n, surf_n, distort, median, meta) = (
+                    rasterization_2dgs(
+                        means, quats, scales, opac, colors, viewmat,
+                        batch["K"][None], width, height, sh_degree=sh_degree,
+                        near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+                    )
+                )
+                render = render + 0.0 * probe.sum()
+                loss = combined_loss(render, target, cfg.ssim_lambda)
+                gate_n = (step > cfg.normal_start_iter).astype(jnp.float32)
+                # camera-frame splat normal field vs depth-derived normals
+                nc = render_n * jax.lax.rsqrt(
+                    jnp.maximum(
+                        jnp.sum(render_n * render_n, axis=-1, keepdims=True),
+                        1e-12,
+                    )
+                )
+                normal_err = 1.0 - jnp.sum(nc * surf_n, axis=-1)
+                loss += cfg.normal_lambda * gate_n * jnp.mean(normal_err)
+                gate_d = (step > cfg.dist_start_iter).astype(jnp.float32)
+                loss += cfg.dist_lambda * gate_d * jnp.mean(distort)
+                return loss, meta
+
+            probe = jnp.zeros((1, cap, 2), jnp.float32)
+            (loss, meta), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, probe)
+            param_grads, v_means2d = grads
+            strat_state = strategy.update_state(strat_state, meta, v_means2d)
+            params, opt_states = apply_updates(
+                self.txs, opt_states, params, param_grads
+            )
+            return params, opt_states, strat_state, sim_bundle, loss
+
+        def train_chunk(params, opt_states, strat_state, sim_bundle, batches,
+                        keys, steps, means_lrs):
+            def body(carry, xs):
+                p, o, s, sb = carry
+                batch, key, step, lr = xs
+                p, o, s, sb, loss = train_step(p, o, s, sb, batch, key, step,
+                                               lr)
+                return (p, o, s, sb), loss
+
+            (params, opt_states, strat_state, sim_bundle), losses = (
+                jax.lax.scan(
+                    body, (params, opt_states, strat_state, sim_bundle),
+                    (batches, keys, steps, means_lrs),
+                )
+            )
+            return params, opt_states, strat_state, sim_bundle, losses
+
+        return jax.jit(train_chunk, donate_argnums=(0, 1))
+
+    def render_view(self, camtoworld, K, width, height, sh_degree=None):
+        means, quats, scales, opac = splat_activations(self.splats)
+        colors = jnp.concatenate([self.splats["sh0"], self.splats["shN"]], 1)
+        viewmat = jnp.linalg.inv(jnp.asarray(camtoworld))[None]
+        render, *_ = rasterization_2dgs(
+            means, quats, scales, opac, colors, viewmat,
+            jnp.asarray(K)[None], width, height,
+            sh_degree=self.cfg.sh_degree if sh_degree is None else sh_degree,
+        )
+        return jnp.clip(render[0, ..., :3], 0.0, 1.0)

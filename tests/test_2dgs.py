@@ -119,3 +119,24 @@ def test_rasterization_2dgs_api(rng, test_scene):
     assert normals.shape == (1, H, W, 3)
     assert surf_normals.shape == (1, H, W, 3)
     assert np.isfinite(np.asarray(colors)).all()
+
+
+def test_2dgs_trainer_descends(rng):
+    from tests.test_trainer import FakeParser, FakeDataset
+    from gscodec_studio_tpu.training.trainer_2dgs import Config2DGS, Runner2DGS
+
+    parser = FakeParser(rng, n_views=4, width=40, height=32, n_gt=80)
+    cfg = Config2DGS(
+        result_dir="/tmp/gsc_2dgs_test", max_steps=90, sh_degree=0,
+        sh_degree_interval=1, capacity=120, isect_capacity=8192,
+        steps_per_dispatch=15, normal_start_iter=5, dist_start_iter=5,
+        normal_lambda=1e-3, dist_lambda=1e-4,
+    )
+    runner = Runner2DGS(
+        cfg, parser=parser, trainset=FakeDataset(parser, "train"),
+        valset=FakeDataset(parser, "val"),
+    )
+    object.__setattr__(runner.strategy, "refine_start_iter", 1 << 30)
+    losses = runner.train(log_every=0)
+    # compare whole epochs (3 train views) to cancel per-view variance
+    assert np.mean(losses[-30:]) < np.mean(losses[:30]) - 0.005
