@@ -53,6 +53,11 @@ def make_scene(n=1_000_000, width=1297, height=840, seed=0):
 
 def main():
     import jax
+
+    # Persistent compilation cache: repeated bench runs skip the (slow,
+    # possibly remote) TPU compile entirely.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from gscodec_studio_tpu.rendering import rasterization

@@ -1,0 +1,21 @@
+"""Driver contract: entry() jit-compiles and dryrun_multichip runs on the
+8-device CPU mesh."""
+
+import jax
+import numpy as np
+
+
+def test_entry_compiles_and_runs():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    img, alpha = jax.block_until_ready(out)
+    assert img.shape[-1] == 3
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(min(8, jax.device_count()))
