@@ -117,3 +117,58 @@ def test_simulation_end_to_end(rng):
         float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g["entropy"])
     )
     assert total > 0
+
+
+def test_hash_grid_encoder(rng):
+    from gscodec_studio_tpu.compression_sim.hash_grid import (
+        hash_grid_init, hash_grid_encode,
+    )
+
+    tables, cfg = hash_grid_init(jax.random.PRNGKey(0), n_levels=4)
+    x = jnp.asarray(rng.random((100, 3)).astype(np.float32))
+    out = hash_grid_encode(tables, cfg, x)
+    assert out.shape == (100, 8)
+    # continuity: nearby points get nearby features
+    x2 = x + 1e-4
+    out2 = hash_grid_encode(tables, cfg, x2)
+    assert float(jnp.abs(out - out2).max()) < 1e-3
+    # binarized mode stays finite and differentiable
+    g = jax.grad(
+        lambda t: jnp.sum(hash_grid_encode(t, cfg, x, binarize=True) ** 2)
+    )(tables)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_gaussian_conditional_model_learns(rng):
+    """The position-conditioned entropy model reduces bits on spatially
+    structured data (the point of the hash-grid conditioning)."""
+    import optax
+    from gscodec_studio_tpu.compression_sim.hash_grid import (
+        gaussian_conditional_init, gaussian_conditional_bits,
+    )
+
+    pos = jnp.asarray(rng.random((2000, 3)).astype(np.float32))
+    # values strongly correlated with position
+    vals = jnp.asarray(
+        np.round(8 * np.sin(12 * np.asarray(pos[:, :1])) + rng.standard_normal((2000, 1)) * 0.3)
+    ).astype(jnp.float32)
+    params, cfgs = gaussian_conditional_init(jax.random.PRNGKey(0), channel=1,
+                                             n_levels_3d=6, n_levels_2d=2)
+    tx = optax.adam(2e-3)
+    st = tx.init(params)
+
+    def loss(p):
+        return jnp.mean(gaussian_conditional_bits(p, cfgs, vals, pos, 1.0))
+
+    l0 = float(loss(params))
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(loss)(p)
+        upd, s = tx.update(g, s, p)
+        return optax.apply_updates(p, upd), s
+
+    for _ in range(150):
+        params, st = step(params, st)
+    l1 = float(loss(params))
+    assert l1 < l0 - 0.5, (l0, l1)
