@@ -41,3 +41,32 @@ def test_seq_roundtrip(rng, tmp_path):
     q_in = np.quantile(s_in, [0.1, 0.5, 0.9])
     q_out = np.quantile(s_out, [0.1, 0.5, 0.9])
     np.testing.assert_allclose(q_in, q_out, atol=0.06)
+
+
+def test_stg_png_roundtrip(rng, tmp_path):
+    from gscodec_studio_tpu.compression.stg_compression import STGPngCompression
+
+    n = 1100
+    splats = {
+        "means": (rng.standard_normal((n, 3)) * 2).astype(np.float32),
+        "scales": (-5 + rng.random((n, 3))).astype(np.float32),
+        "quats": rng.standard_normal((n, 4)).astype(np.float32),
+        "opacities": (3 * rng.random(n)).astype(np.float32),
+        "trbf_center": rng.random(n).astype(np.float32),
+        "trbf_scale": rng.random(n).astype(np.float32),
+        "motion": (0.2 * rng.standard_normal((n, 9))).astype(np.float32),
+        "omega": (0.1 * rng.standard_normal((n, 4))).astype(np.float32),
+        "colors": rng.random((n, 3)).astype(np.float32),
+        "features_dir": rng.random((n, 3)).astype(np.float32),
+        "features_time": rng.random((n, 3)).astype(np.float32),
+    }
+    codec = STGPngCompression()
+    d = str(tmp_path / "stg")
+    codec.compress(d, splats)
+    out = codec.decompress(d)
+    side = int(np.floor(np.sqrt(n)))
+    assert out["motion"].shape == (side * side, 9)
+    assert out["means"].shape == (side * side, 3)
+    q_in = np.quantile(np.sort(splats["motion"].reshape(-1)), [0.2, 0.8])
+    q_out = np.quantile(np.sort(out["motion"].reshape(-1)), [0.2, 0.8])
+    np.testing.assert_allclose(q_in, q_out, atol=0.02)
