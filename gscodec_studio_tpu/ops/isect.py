@@ -62,8 +62,13 @@ def isect_tiles(
     tile_width: int,
     tile_height: int,
     capacity: int,
+    need_inv_perm: bool = True,
 ) -> Intersections:
-    """Bin Gaussians to tiles; see :class:`Intersections`."""
+    """Bin Gaussians to tiles; see :class:`Intersections`.
+
+    ``need_inv_perm=False`` skips the inverse-permutation bookkeeping (one
+    [cap] scatter + an extra sort payload) — the rasterizer's scatter-add
+    backward reduction doesn't use it."""
     C, N = radii.shape
     n_tiles = tile_width * tile_height
     assert C * n_tiles < INT32_MAX, "tile key overflows int32"
@@ -114,20 +119,25 @@ def isect_tiles(
     flatten_ids = jnp.where(valid, src, 0)
 
     # Lexicographic sort on (tile_key, depth bits); padding sorts last.
-    # ``pos`` rides along to invert the permutation for the VJP's
-    # scatter-free segment reduction.
-    tile_keys, depth_keys, flatten_ids, sorted_pos = jax.lax.sort(
-        (tile_keys, depth_keys, flatten_ids, pos), num_keys=2
-    )
-    isect_depths = jax.lax.bitcast_convert_type(depth_keys, jnp.float32)
     n_isects = jnp.minimum(total, capacity).astype(jnp.int32)
-
-    # inv_perm[expansion position] = sorted position (a permutation scatter).
-    inv_perm = (
-        jnp.zeros((capacity,), jnp.int32)
-        .at[sorted_pos]
-        .set(pos, unique_indices=True)
-    )
+    if need_inv_perm:
+        # ``pos`` rides along to invert the permutation for the VJP's
+        # scatter-free segment reduction.
+        tile_keys, depth_keys, flatten_ids, sorted_pos = jax.lax.sort(
+            (tile_keys, depth_keys, flatten_ids, pos), num_keys=2
+        )
+        # inv_perm[expansion position] = sorted position.
+        inv_perm = (
+            jnp.zeros((capacity,), jnp.int32)
+            .at[sorted_pos]
+            .set(pos, unique_indices=True)
+        )
+    else:
+        tile_keys, depth_keys, flatten_ids = jax.lax.sort(
+            (tile_keys, depth_keys, flatten_ids), num_keys=2
+        )
+        inv_perm = jnp.zeros((1,), jnp.int32)
+    isect_depths = jax.lax.bitcast_convert_type(depth_keys, jnp.float32)
     exp_offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.minimum(cum, capacity).astype(jnp.int32)]
     )
@@ -169,6 +179,7 @@ def align_isects(
     tile_width: int,
     tile_height: int,
     align: int = 128,
+    need_inv_perm: bool = True,
 ) -> AlignedIsects:
     """Re-lay the sorted intersection list with per-tile runs padded to
     ``align`` entries.
@@ -204,7 +215,11 @@ def align_isects(
     # (all padding entries collide on the dump slot cap2-1, which no kernel
     # chunk ever consumes; -1 marks alignment padding inside runs.)
 
-    inv_perm = jnp.take(new_pos, isect.inv_perm)
+    inv_perm = (
+        jnp.take(new_pos, isect.inv_perm)
+        if need_inv_perm
+        else jnp.zeros((1,), jnp.int32)
+    )
     return AlignedIsects(
         ids=ids,
         starts=astarts[:-1],

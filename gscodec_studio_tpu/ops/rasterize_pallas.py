@@ -65,6 +65,13 @@ K_CHUNK = 128  # gaussians per grid step == the isect alignment unit
 # Both are deterministic; pick by measurement per platform.
 SEGRED_MODE = "scatter"
 
+# Early-termination semantics: "exact" reproduces the CUDA per-Gaussian
+# inclusive-product cutoff bit-for-bit (extra mask + reduction per chunk);
+# "soft" drops contributions only at chunk granularity — the sub-1e-4
+# transmittance tail it admits is visually/gradient-wise negligible and the
+# chunk math gets ~25% cheaper. Tests run "exact"; production defaults soft.
+CUTOFF_MODE = "soft"
+
 
 
 class RasterCfg(NamedTuple):
@@ -76,6 +83,7 @@ class RasterCfg(NamedTuple):
     cap: int  # unaligned isect capacity
     cap2: int  # aligned capacity (multiple of K_CHUNK)
     interpret: bool
+    m: int = 0  # rows of flat_attrs (C*N)
 
     @property
     def n_tiles(self):
@@ -177,12 +185,19 @@ def _composite_weights(alpha, t_row):
     oma = 1.0 - alpha  # (K, P)
     t_rel_excl = _cumprod_excl(oma, axis=0)
     t_prev = t_rel_excl * t_row
-    t_incl = t_prev * oma
-    m = t_incl > TRANSMITTANCE_EPS
-    w = alpha * t_prev * jnp.where(m, 1.0, 0.0)
-    t_new = jnp.min(jnp.where(m, t_incl, t_row), axis=0, keepdims=True)
-    t_new = jnp.minimum(t_row, t_new)
-    return w, m, t_prev, t_new
+    if CUTOFF_MODE == "exact":
+        t_incl = t_prev * oma
+        m = t_incl > TRANSMITTANCE_EPS
+        w = alpha * t_prev * jnp.where(m, 1.0, 0.0)
+        t_new = jnp.min(jnp.where(m, t_incl, t_row), axis=0, keepdims=True)
+        t_new = jnp.minimum(t_row, t_new)
+        return w, m, t_prev, t_new
+    # soft mode: admit the (invisible) sub-eps tail within the chunk; the
+    # while-condition still stops at chunk granularity.
+    w = alpha * t_prev
+    K = alpha.shape[0]
+    t_new = t_prev[K - 1 : K] * oma[K - 1 : K]
+    return w, None, t_prev, t_new
 
 
 # ---------------------------------------------------------------------------
@@ -296,9 +311,9 @@ def _bwd_kernel(cfg: RasterCfg, tile_ref, starts_ref, ends_ref, packed_ref,
         s = q_row - cum_u  # suffix color term sum_ch S_k * v_c
         one_m_alpha = 1.0 - alpha
         inv_oma = 1.0 / jnp.where(one_m_alpha > 0, one_m_alpha, 1.0)
-        v_alpha = (
-            t_prev * G - s * inv_oma + v_a * t_final * inv_oma
-        ) * jnp.where(m, 1.0, 0.0)
+        v_alpha = t_prev * G - s * inv_oma + v_a * t_final * inv_oma
+        if m is not None:
+            v_alpha = v_alpha * jnp.where(m, 1.0, 0.0)
 
         dvalid = jnp.where(g["valid"] & jnp.logical_not(g["clamped"]), 1.0, 0.0)
         exp_neg_sigma = jnp.exp(-g["sigma"])
@@ -440,7 +455,7 @@ def _rasterize_packed_bwd(cfg, res, cot):
         pad(v_tile_alphas)
     )  # [cap2, D]
 
-    M = exp_offsets.shape[0] - 1
+    M = cfg.m if cfg.m else exp_offsets.shape[0] - 1
     if SEGRED_MODE == "scatter":
         # One deterministic scatter-add by aligned slot ids (padding -1 and
         # any dropped slots land on the dump row M).
@@ -513,7 +528,10 @@ def rasterize_to_pixels(
     tile_width = -(-width // tile_size)
     tile_height = -(-height // tile_size)
     if aligned is None:
-        aligned = align_isects(isect, C, tile_width, tile_height, K_CHUNK)
+        aligned = align_isects(
+            isect, C, tile_width, tile_height, K_CHUNK,
+            need_inv_perm=(SEGRED_MODE == "cumsum"),
+        )
     if interpret is None:
         interpret = not _supports_mosaic()
     cfg = RasterCfg(
@@ -525,6 +543,7 @@ def rasterize_to_pixels(
         cap=isect.flatten_ids.shape[0],
         cap2=aligned.ids.shape[0],
         interpret=interpret,
+        m=C * N,
     )
     flat_attrs = jnp.concatenate(
         [

@@ -147,8 +147,12 @@ def rasterization(
     tile_height = -(-height // tile_size)
     if isect_capacity is None:
         isect_capacity = _default_isect_capacity(C, N)
+    from gscodec_studio_tpu.ops.rasterize_pallas import SEGRED_MODE
+
     isect = isect_tiles(
-        means2d, radii, depths, tile_size, tile_width, tile_height, isect_capacity
+        means2d, radii, depths, tile_size, tile_width, tile_height,
+        isect_capacity,
+        need_inv_perm=(rasterizer != "pallas" or SEGRED_MODE == "cumsum"),
     )
     tile_offsets = isect_offset_encode(isect.tile_keys, C, tile_width, tile_height)
 

@@ -71,3 +71,9 @@ def make_test_scene(rng, C=2, N=1000, width=64, height=48, scene_extent=3.0):
 @pytest.fixture
 def test_scene(rng):
     return make_test_scene(rng)
+
+
+# Oracle-parity tests reproduce the CUDA early-stop semantics exactly.
+from gscodec_studio_tpu.ops import rasterize_pallas as _rp
+
+_rp.CUTOFF_MODE = "exact"
