@@ -69,18 +69,20 @@ def main():
         width=width, height=height
     )
 
-    def loss_fn(means):
-        img, alpha, _ = rasterization(
-            means, quats, scales, opacities, colors, viewmats, Ks,
-            width, height, sh_degree=3, isect_capacity=isect_capacity,
-        )
-        return jnp.mean((img - 0.5) ** 2) + 0.1 * jnp.mean(alpha)
+    def body(c, means, quats, scales, opacities, colors, viewmats, Ks):
+        def loss_fn(means):
+            img, alpha, _ = rasterization(
+                means, quats, scales, opacities, colors, viewmats, Ks,
+                width, height, sh_degree=3, isect_capacity=isect_capacity,
+            )
+            return jnp.mean((img - 0.5) ** 2) + 0.1 * jnp.mean(alpha)
 
-    def body(c):
         g = jax.grad(loss_fn)(means + c)
         return jnp.sum(g) * 1e-20 + 1e-12
 
-    per_iter = honest_timer(body, K=8)
+    per_iter = honest_timer(
+        body, (means, quats, scales, opacities, colors, viewmats, Ks), K=8
+    )
     mpix_s = width * height / per_iter / 1e6
     baseline = 67.6  # Mpix/s fwd+bwd, TITAN RTX (see module docstring)
     print(

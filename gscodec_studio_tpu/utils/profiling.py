@@ -70,26 +70,31 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def honest_timer(body, K: int = 8, repeats: int = 3):
-    """Per-iteration seconds for ``body(carry)->carry`` measured by scan
-    differencing (K vs 1) with forced host sync."""
+def honest_timer(body, args=(), K: int = 8, repeats: int = 3):
+    """Per-iteration seconds for ``body(carry, *args)->carry`` measured by
+    scan differencing (K vs 1) with forced host sync.
+
+    IMPORTANT: pass every big array through ``args`` — arrays merely closed
+    over by ``body`` become jit constants, which this remote-TPU relay
+    re-stages on every dispatch (seconds of hidden overhead for 100MB+
+    scenes)."""
     import jax.numpy as jnp
 
     def run_k(k):
         @jax.jit
-        def run(x):
+        def run(x, *a):
             def step(c, _):
-                return body(c), None
+                return body(c, *a), None
 
             c, _ = jax.lax.scan(step, x, None, length=k)
             return c
 
         x = jnp.float32(1e-12)
-        _ = float(run(x))
+        _ = float(run(x, *args))
         best = 1e9
         for _ in range(repeats):
             t0 = time.perf_counter()
-            _ = float(run(x))
+            _ = float(run(x, *args))
             best = min(best, time.perf_counter() - t0)
         return best
 
