@@ -28,21 +28,22 @@ def run_config(n, width, height, channels, isect_capacity):
             np.random.default_rng(0).random((n, channels)).astype(np.float32)
         )
 
-    def fwd(c):
+    cols = colors if channels == 3 else feat
+    args = (means, quats, scales, opacities, cols, viewmats, Ks)
+
+    def fwd(c, means, quats, scales, opacities, cols, viewmats, Ks):
         img, _, _ = rasterization(
-            means + c, quats, scales, opacities,
-            colors if channels == 3 else feat,
+            means + c, quats, scales, opacities, cols,
             viewmats, Ks, width, height,
             sh_degree=3 if channels == 3 else None,
             isect_capacity=isect_capacity,
         )
         return jnp.sum(img) * 1e-20 + 1e-12
 
-    def bwd(c):
+    def bwd(c, means, quats, scales, opacities, cols, viewmats, Ks):
         def loss(means):
             img, _, _ = rasterization(
-                means, quats, scales, opacities,
-                colors if channels == 3 else feat,
+                means, quats, scales, opacities, cols,
                 viewmats, Ks, width, height,
                 sh_degree=3 if channels == 3 else None,
                 isect_capacity=isect_capacity,
@@ -51,8 +52,8 @@ def run_config(n, width, height, channels, isect_capacity):
 
         return jnp.sum(jax.grad(loss)(means + c)) * 1e-20 + 1e-12
 
-    t_f = honest_timer(fwd, K=6)
-    t_b = honest_timer(bwd, K=6)
+    t_f = honest_timer(fwd, args, K=6)
+    t_b = honest_timer(bwd, args, K=6)
     return {
         "n_gaussians": n, "width": width, "height": height,
         "channels": channels,
