@@ -481,6 +481,9 @@ class Runner:
         restored = {}
         for k, v in self.splats.items():
             arr = np.full(np.asarray(v).shape, 0.0, np.float32)
+            if arr.size == 0 or k not in decoded:
+                restored[k] = jnp.asarray(arr)
+                continue
             dec = decoded[k].reshape((-1,) + np.asarray(v).shape[1:])
             arr[: len(dec)] = dec
             if k == "opacities":
