@@ -60,12 +60,16 @@ MAX_ALPHA = 0.999
 
 K_CHUNK = 128  # gaussians per grid step == the isect alignment unit
 
-# Backward per-Gaussian reduction: "cumsum" (gather + prefix-sum differences,
-# fully scatter-free) or "scatter" (one deterministic scatter-add by slot id).
-# Both are deterministic. Measured on v5e at 4.2M intersections: scatter-add
-# serializes on duplicate indices (~511 ms!) while the gather+cumsum path
-# costs ~80 ms — cumsum is the default.
-SEGRED_MODE = "cumsum"
+# Backward per-Gaussian reduction (all deterministic):
+#   "sort"    sort the per-intersection grad rows by Gaussian id and take
+#             prefix-sum differences at the id boundaries. XLA sorts are fast
+#             on TPU (~3.5 ns/row) while big-table random gathers (~23 ns/row)
+#             and duplicate-index scatter-adds (~100 ns/row) are not — this is
+#             the cheapest path and needs no inverse-permutation bookkeeping.
+#   "cumsum"  invert the tile sort with the precomputed permutation (gather)
+#             then prefix-sum differences over expansion runs.
+#   "scatter" one scatter-add by slot id (slow on TPU: serializes duplicates).
+SEGRED_MODE = "sort"
 
 # Early-termination semantics: "exact" reproduces the CUDA per-Gaussian
 # inclusive-product cutoff bit-for-bit (extra mask + reduction per chunk);
@@ -458,7 +462,27 @@ def _rasterize_packed_bwd(cfg, res, cot):
     )  # [cap2, D]
 
     M = cfg.m if cfg.m else exp_offsets.shape[0] - 1
-    if SEGRED_MODE == "scatter":
+    if SEGRED_MODE == "sort":
+        # Sort grad rows by Gaussian id; padding (-1) maps to the dump id M
+        # and sorts last. Runs become contiguous -> prefix-sum differences.
+        ids = jnp.where(aligned_ids_res >= 0, aligned_ids_res, M)
+        cols = tuple(v_packed[:, i] for i in range(v_packed.shape[1]))
+        sorted_all = jax.lax.sort((ids,) + cols, num_keys=1)
+        sorted_ids = sorted_all[0]
+        v_sorted = jnp.stack(sorted_all[1:], axis=-1)  # [cap2, D]
+        del sorted_ids
+        csum = jnp.concatenate(
+            [jnp.zeros((1, v_sorted.shape[1]), v_sorted.dtype),
+             jnp.cumsum(v_sorted, axis=0)],
+            axis=0,
+        )
+        # Id-sorted run boundaries == the expansion offsets (the expansion
+        # enumerates Gaussians id-major with the same per-id counts), so no
+        # searchsorted is needed.
+        v_flat = jnp.take(csum, exp_offsets[1:], axis=0) - jnp.take(
+            csum, exp_offsets[:-1], axis=0
+        )
+    elif SEGRED_MODE == "scatter":
         # One deterministic scatter-add by aligned slot ids (padding -1 and
         # any dropped slots land on the dump row M).
         ids = jnp.where(aligned_ids_res >= 0, aligned_ids_res, M)
