@@ -210,10 +210,10 @@ def align_isects(
     ids = (
         jnp.full((cap2,), -1, jnp.int32)
         .at[new_pos]
-        .set(isect.flatten_ids)
+        .set(jnp.where(tkey < T, isect.flatten_ids, -1))
     )
-    # (all padding entries collide on the dump slot cap2-1, which no kernel
-    # chunk ever consumes; -1 marks alignment padding inside runs.)
+    # (all padding entries collide on the dump slot cap2-1, writing -1 so it
+    # never aliases a real Gaussian id; -1 marks alignment padding in runs.)
 
     inv_perm = (
         jnp.take(new_pos, isect.inv_perm)

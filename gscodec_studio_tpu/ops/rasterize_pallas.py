@@ -7,12 +7,12 @@ sequential loop onto TPU hardware:
 
   * The sorted intersection list is pre-gathered once (XLA gather) into a
     contiguous ``packed`` [cap2, D] array whose per-tile runs are padded to
-    K=128-entry chunks (isect.align_isects). The kernel grid iterates over
+    K_CHUNK-entry chunks (isect.align_isects). The kernel grid iterates over
     those chunks; the Pallas pipeline streams the (K, D) blocks through VMEM
     with automatic double buffering — the TPU answer to the CUDA kernel's
     warp-cooperative shared-memory staging (fwd.cu:90-130), with zero
     per-tile DMA latency on the critical path.
-  * Each chunk composites K=128 Gaussians against all P=tile_size^2 pixels:
+  * Each chunk composites K_CHUNK Gaussians against all P=tile_size^2 pixels:
     Gaussians on sublanes, pixels on lanes. Per-pair alphas [K, P] on the
     VPU; the front-to-back prefix transmittance is an exclusive cumulative
     *product* along the Gaussian axis computed with a log2(K)-step
@@ -58,7 +58,7 @@ ALPHA_THRESHOLD = 1.0 / 255.0
 TRANSMITTANCE_EPS = 1e-4
 MAX_ALPHA = 0.999
 
-K_CHUNK = 128  # gaussians per grid step == the isect alignment unit
+K_CHUNK = 256  # gaussians per grid step == the isect alignment unit
 
 # Backward per-Gaussian reduction (all deterministic):
 #   "sort"    sort the per-intersection grad rows by Gaussian id and take
