@@ -56,17 +56,37 @@ class CompressionSimulation:
     max_steps: int = 30_000
     ada_mask_start: int = 10_000
     q_type: str = "round"
+    # "factorized_model" | "gaussian_model" (position-conditioned, hash-grid;
+    # simulation.py:92-106 / gaussian_distribution_model.py)
+    entropy_model_type: str = "factorized_model"
+    # gaussian_model subsamples ~5% of in-bbox points per step for speed
+    # (simulation.py:185-219); static count here for jit.
+    gaussian_sample: int = 16_384
 
     def init_params(self, key: jax.Array) -> Dict:
         """Learnable simulation parameters (to be optimized by the trainer)."""
         out = {}
         if self.entropy_model_opt:
             ch = {"scales": 3, "quats": 4, "sh0": 3}
-            ems = {}
-            for name, c in ch.items():
-                key, k = jax.random.split(key)
-                filters = (3, 3) if name in ("scales", "sh0") else (3, 3, 3)
-                ems[name] = init_factorized(k, c, filters)
+            if self.entropy_model_type == "gaussian_model":
+                from gscodec_studio_tpu.compression_sim.hash_grid import (
+                    gaussian_conditional_init,
+                )
+
+                ems = {}
+                self._gauss_cfgs = {}
+                for name, c in ch.items():
+                    key, k = jax.random.split(key)
+                    ems[name], self._gauss_cfgs[name] = (
+                        gaussian_conditional_init(k, c, n_levels_3d=8,
+                                                  n_levels_2d=2)
+                    )
+            else:
+                ems = {}
+                for name, c in ch.items():
+                    key, k = jax.random.split(key)
+                    filters = (3, 3) if name in ("scales", "sh0") else (3, 3, 3)
+                    ems[name] = init_factorized(k, c, filters)
             out["entropy"] = ems
         if self.shN_ada_mask_opt:
             out["ada_mask"] = jnp.ones((self.cap,), jnp.float32)
@@ -110,9 +130,35 @@ class CompressionSimulation:
                 and ENTROPY_OPTION.get(name, False)
                 and name in sim_params.get("entropy", {})
             ):
-                bits = factorized_bits(
-                    sim_params["entropy"][name], xq.reshape(shp[0], -1), q_step
-                )
+                if self.entropy_model_type == "gaussian_model":
+                    from gscodec_studio_tpu.compression_sim.hash_grid import (
+                        gaussian_conditional_bits,
+                    )
+
+                    # subsample points; condition on normalized positions
+                    key, ks = jax.random.split(key)
+                    idx = jax.random.randint(
+                        ks, (min(self.gaussian_sample, shp[0]),), 0, shp[0]
+                    )
+                    means = splats["means"]
+                    lo_p = jnp.percentile(means, 1.0, axis=0)
+                    hi_p = jnp.percentile(means, 99.0, axis=0)
+                    pos = jnp.clip(
+                        (means[idx] - lo_p) / jnp.maximum(hi_p - lo_p, 1e-6),
+                        0.0, 1.0,
+                    )
+                    bits = gaussian_conditional_bits(
+                        sim_params["entropy"][name],
+                        self._gauss_cfgs[name],
+                        xq.reshape(shp[0], -1)[idx],
+                        pos,
+                        q_step,
+                    )
+                else:
+                    bits = factorized_bits(
+                        sim_params["entropy"][name], xq.reshape(shp[0], -1),
+                        q_step,
+                    )
                 # bpp-style mean, gated on the per-attribute start step
                 gate = (step > ENTROPY_STEPS[name]).astype(jnp.float32)
                 total_bits = total_bits + gate * jnp.mean(bits)

@@ -58,7 +58,7 @@ ALPHA_THRESHOLD = 1.0 / 255.0
 TRANSMITTANCE_EPS = 1e-4
 MAX_ALPHA = 0.999
 
-K_CHUNK = 256  # gaussians per grid step == the isect alignment unit
+K_CHUNK = 128  # gaussians per grid step == the isect alignment unit
 
 # Backward per-Gaussian reduction (all deterministic):
 #   "sort"    sort the per-intersection grad rows by Gaussian id and take

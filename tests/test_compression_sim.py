@@ -172,3 +172,32 @@ def test_gaussian_conditional_model_learns(rng):
         params, st = step(params, st)
     l1 = float(loss(params))
     assert l1 < l0 - 0.5, (l0, l1)
+
+
+def test_simulation_gaussian_model(rng):
+    sim = CompressionSimulation(
+        entropy_model_opt=True, cap=128, entropy_model_type="gaussian_model",
+        gaussian_sample=64,
+    )
+    sim_params = sim.init_params(jax.random.PRNGKey(0))
+    splats = {
+        "means": jnp.asarray(rng.standard_normal((128, 3)).astype(np.float32)),
+        "scales": jnp.asarray(-rng.random((128, 3)).astype(np.float32) * 5),
+        "quats": jnp.asarray(rng.standard_normal((128, 4)).astype(np.float32)),
+        "opacities": jnp.asarray(rng.standard_normal(128).astype(np.float32)),
+        "sh0": jnp.asarray(rng.standard_normal((128, 1, 3)).astype(np.float32)),
+        "shN": jnp.asarray(rng.standard_normal((128, 8, 3)).astype(np.float32)),
+    }
+    new, bits, aux = sim.simulate(
+        splats, sim_params, jnp.asarray(25_000), jax.random.PRNGKey(1)
+    )
+    assert float(bits) > 0
+    g = jax.grad(
+        lambda sp: sim.simulate(splats, sp, jnp.asarray(25_000),
+                                jax.random.PRNGKey(1))[1]
+    )(sim_params)
+    total = sum(
+        float(jnp.sum(jnp.abs(l)))
+        for l in jax.tree_util.tree_leaves(g["entropy"])
+    )
+    assert total > 0
