@@ -133,6 +133,11 @@ def main():
     )
     runner = Runner(cfg, parser=parser, trainset=train_views, valset=val_views)
 
+    init_metrics = runner.eval("init")
+    print(json.dumps({"phase": "init",
+                      **{k: round(v, 3) for k, v in init_metrics.items()}}),
+          flush=True)
+
     t0 = time.time()
     losses = runner.train(log_every=500)
     train_secs = time.time() - t0
