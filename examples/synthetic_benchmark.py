@@ -121,8 +121,12 @@ def main():
     parser.points_err = np.zeros(len(pts))
     parser.scene_scale = 6.0
 
-    train_views = ListDataset(views[: -max(2, len(views) // 8)])
-    val_views = ListDataset(views[-max(2, len(views) // 8):])
+    # Interleaved split (every 8th view held out, mip-360 convention) — a
+    # contiguous held-out arc would measure extrapolation, not fit.
+    train_views = ListDataset(
+        [v for i, v in enumerate(views) if i % 8 != 0]
+    )
+    val_views = ListDataset([v for i, v in enumerate(views) if i % 8 == 0])
     cfg = Config(
         result_dir=args.result_dir, max_steps=args.steps, sh_degree=1,
         sh_degree_interval=500, strategy=args.strategy,

@@ -252,7 +252,7 @@ class Runner:
             if isinstance(strategy, MCMCStrategy):
                 params = strategy.inject_noise(params, key, means_lr)
             return (params, opt_states, strat_state, (sim_params, sim_opt_state),
-                    loss, img)
+                    loss, meta["n_isects"])
 
         def train_chunk(params, opt_states, strat_state, sim_bundle, batches,
                         keys, steps, means_lrs):
@@ -262,21 +262,26 @@ class Runner:
             def body(carry, xs):
                 params, opt_states, strat_state, sim_bundle = carry
                 batch, key, step, lr = xs
-                params, opt_states, strat_state, sim_bundle, loss, _ = (
+                params, opt_states, strat_state, sim_bundle, loss, n_is = (
                     train_step(params, opt_states, strat_state, sim_bundle,
                                batch, key, step, lr)
                 )
-                return (params, opt_states, strat_state, sim_bundle), loss
+                return (params, opt_states, strat_state, sim_bundle), (loss, n_is)
 
-            (params, opt_states, strat_state, sim_bundle), losses = (
+            (params, opt_states, strat_state, sim_bundle), (losses, n_isects) = (
                 jax.lax.scan(
                     body, (params, opt_states, strat_state, sim_bundle),
                     (batches, keys, steps, means_lrs),
                 )
             )
-            return params, opt_states, strat_state, sim_bundle, losses
+            return (params, opt_states, strat_state, sim_bundle, losses,
+                    jnp.max(n_isects))
 
         return jax.jit(train_chunk, donate_argnums=(0, 1))
+
+    def _isect_capacity(self) -> int:
+        cap = self.splats["means"].shape[0]
+        return self.cfg.isect_capacity or max(cap * 4, 1 << 20)
 
     def _means_lr(self, step: int) -> float:
         base = PARAM_LRS["means"] * self.scene_scale * math.sqrt(
@@ -332,7 +337,7 @@ class Runner:
                 [self._means_lr(step + i) for i in range(S)], jnp.float32
             )
             (self.splats, self.opt_states, self.strategy_state, sim_bundle,
-             chunk_losses) = self._train_step(
+             chunk_losses, chunk_max_isects) = self._train_step(
                 self.splats, self.opt_states, self.strategy_state,
                 sim_bundle, batches, keys, steps, lrs,
             )
@@ -362,8 +367,15 @@ class Runner:
             if log_every and step >= next_log:
                 # Host sync only here (keeps the device pipeline deep).
                 losses.extend(np.asarray(chunk_losses).tolist())
+                cap_used = int(chunk_max_isects)
+                isect_cap = self._isect_capacity()
+                fill = cap_used / isect_cap
+                warn = "  !! ISECT OVERFLOW (raise isect_capacity)" if (
+                    fill >= 1.0
+                ) else ""
                 print(
                     f"step {step}: loss {losses[-1]:.4f} "
+                    f"isects {cap_used} ({fill:.0%} of cap){warn} "
                     f"({time.time()-t0:.1f}s)", flush=True
                 )
                 next_log = step + log_every
