@@ -100,6 +100,8 @@ def main():
     p.add_argument("--strategy", default="mcmc")
     p.add_argument("--cap", type=int, default=100_000)
     p.add_argument("--result_dir", default="/tmp/synth_bench")
+    p.add_argument("--overfit", action="store_true",
+                   help="eval on the training views (fit capacity test)")
     args = p.parse_args()
 
     import jax
@@ -127,6 +129,8 @@ def main():
         [v for i, v in enumerate(views) if i % 8 != 0]
     )
     val_views = ListDataset([v for i, v in enumerate(views) if i % 8 == 0])
+    if args.overfit:
+        val_views = train_views
     cfg = Config(
         result_dir=args.result_dir, max_steps=args.steps, sh_degree=1,
         sh_degree_interval=500, strategy=args.strategy,
