@@ -102,6 +102,8 @@ def main():
     p.add_argument("--result_dir", default="/tmp/synth_bench")
     p.add_argument("--overfit", action="store_true",
                    help="eval on the training views (fit capacity test)")
+    p.add_argument("--no_refine", action="store_true")
+    p.add_argument("--sh_degree", type=int, default=1)
     args = p.parse_args()
 
     import jax
@@ -132,7 +134,8 @@ def main():
     if args.overfit:
         val_views = train_views
     cfg = Config(
-        result_dir=args.result_dir, max_steps=args.steps, sh_degree=1,
+        result_dir=args.result_dir, max_steps=args.steps,
+        sh_degree=args.sh_degree,
         sh_degree_interval=500, strategy=args.strategy,
         mcmc_cap_max=args.cap, capacity=args.cap,
         isect_capacity=1 << 21, steps_per_dispatch=25,
@@ -140,6 +143,8 @@ def main():
         scale_reg=0.01 if args.strategy == "mcmc" else 0.0,
     )
     runner = Runner(cfg, parser=parser, trainset=train_views, valset=val_views)
+    if args.no_refine:
+        object.__setattr__(runner.strategy, "refine_start_iter", 1 << 30)
 
     init_metrics = runner.eval("init")
     print(json.dumps({"phase": "init",
