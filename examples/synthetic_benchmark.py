@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def build_scene(rng, n_gauss, n_views, width, height):
+def build_scene(rng, n_gauss, n_views, width, height, gt_scale=1.2):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +44,7 @@ def build_scene(rng, n_gauss, n_views, width, height):
         0.5 + 0.5 * np.sin(pts * np.array([2.1, 5.3, 3.7]) + np.arange(3)), 0, 1
     ).astype(np.float32)
     gt = create_splats(pts, rgb, cap=n_gauss, sh_degree=1, init_opacity=0.85,
-                       init_scale=1.2)
+                       init_scale=gt_scale)
 
     f = 0.85 * width
     K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float32)
@@ -104,6 +104,8 @@ def main():
                    help="eval on the training views (fit capacity test)")
     p.add_argument("--no_refine", action="store_true")
     p.add_argument("--sh_degree", type=int, default=1)
+    p.add_argument("--rasterizer", default="pallas")
+    p.add_argument("--gt_scale", type=float, default=1.2)
     args = p.parse_args()
 
     import jax
@@ -114,7 +116,8 @@ def main():
     rng = np.random.default_rng(0)
     t0 = time.time()
     pts, rgb, views = build_scene(
-        rng, args.n_gauss, args.n_views, args.width, args.height
+        rng, args.n_gauss, args.n_views, args.width, args.height,
+        gt_scale=args.gt_scale,
     )
     print(json.dumps({"phase": "scene", "views": len(views),
                       "secs": round(time.time() - t0, 1)}), flush=True)
@@ -141,6 +144,7 @@ def main():
         isect_capacity=1 << 21, steps_per_dispatch=25,
         opacity_reg=0.01 if args.strategy == "mcmc" else 0.0,
         scale_reg=0.01 if args.strategy == "mcmc" else 0.0,
+        rasterizer=args.rasterizer,
     )
     runner = Runner(cfg, parser=parser, trainset=train_views, valset=val_views)
     if args.no_refine:

@@ -81,6 +81,9 @@ class Config:
     # Steps fused into one device dispatch (host sync amortization)
     steps_per_dispatch: int = 25
 
+    # Rasterizer backend ("pallas" | "reference" oracle)
+    rasterizer: str = "pallas"
+
     # Compression simulation (training-time; compression_sim/)
     compression_sim: bool = False
     rd_lambda: float = 0.01
@@ -217,6 +220,7 @@ class Runner:
                     ),
                     isect_capacity=isect_capacity,
                     means2d_probe=probe,
+                    rasterizer=cfg.rasterizer,
                 )
                 loss = combined_loss(img, target, cfg.ssim_lambda)
                 if cfg.opacity_reg > 0:
@@ -397,8 +401,8 @@ class Runner:
             means, quats, scales, opac, colors, viewmat,
             jnp.asarray(K)[None], width, height,
             sh_degree=self.cfg.sh_degree if sh_degree is None else sh_degree,
-            isect_capacity=self.cfg.isect_capacity
-            or max(self.splats["means"].shape[0] * 4, 1 << 20),
+            isect_capacity=self._isect_capacity(),
+            rasterizer=self.cfg.rasterizer,
         )
         return jnp.clip(img[0], 0.0, 1.0)
 
