@@ -106,6 +106,7 @@ def main():
     p.add_argument("--sh_degree", type=int, default=1)
     p.add_argument("--rasterizer", default="pallas")
     p.add_argument("--gt_scale", type=float, default=1.2)
+    p.add_argument("--ssim_lambda", type=float, default=0.2)
     args = p.parse_args()
 
     import jax
@@ -145,6 +146,7 @@ def main():
         opacity_reg=0.01 if args.strategy == "mcmc" else 0.0,
         scale_reg=0.01 if args.strategy == "mcmc" else 0.0,
         rasterizer=args.rasterizer,
+        ssim_lambda=args.ssim_lambda,
     )
     runner = Runner(cfg, parser=parser, trainset=train_views, valset=val_views)
     if args.no_refine:
