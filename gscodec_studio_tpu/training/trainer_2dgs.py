@@ -86,24 +86,27 @@ class Runner2DGS(Runner):
             params, opt_states = apply_updates(
                 self.txs, opt_states, params, param_grads
             )
-            return params, opt_states, strat_state, sim_bundle, loss
+            n_vis = jnp.sum(meta["radii"] > 0)
+            return params, opt_states, strat_state, sim_bundle, loss, n_vis
 
         def train_chunk(params, opt_states, strat_state, sim_bundle, batches,
                         keys, steps, means_lrs):
             def body(carry, xs):
                 p, o, s, sb = carry
                 batch, key, step, lr = xs
-                p, o, s, sb, loss = train_step(p, o, s, sb, batch, key, step,
-                                               lr)
-                return (p, o, s, sb), loss
+                p, o, s, sb, loss, n_vis = train_step(
+                    p, o, s, sb, batch, key, step, lr
+                )
+                return (p, o, s, sb), (loss, n_vis)
 
-            (params, opt_states, strat_state, sim_bundle), losses = (
+            (params, opt_states, strat_state, sim_bundle), (losses, n_vis) = (
                 jax.lax.scan(
                     body, (params, opt_states, strat_state, sim_bundle),
                     (batches, keys, steps, means_lrs),
                 )
             )
-            return params, opt_states, strat_state, sim_bundle, losses
+            return (params, opt_states, strat_state, sim_bundle, losses,
+                    jnp.max(n_vis))
 
         return jax.jit(train_chunk, donate_argnums=(0, 1))
 
