@@ -24,18 +24,26 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _filter2d(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Separable 11x11 Gaussian blur on [B, H, W, C] (SAME padding)."""
+    """Separable 11x11 Gaussian blur on [B, H, W, C] (SAME padding).
+
+    precision=HIGHEST is load-bearing: TPU convs default to bf16 passes, and
+    SSIM's variance terms E[x^2] - E[x]^2 catastrophically cancel at bf16 —
+    the metric (and its gradients) silently collapse at real image sizes.
+    """
     C = img.shape[-1]
     k = win.shape[0]
     x = jnp.moveaxis(img, -1, 1)  # [B, C, H, W]
     kern_h = jnp.tile(win.reshape(1, 1, k, 1), (C, 1, 1, 1))
     kern_w = jnp.tile(win.reshape(1, 1, 1, k), (C, 1, 1, 1))
     dn = jax.lax.conv_dimension_numbers(x.shape, kern_h.shape, ("NCHW", "OIHW", "NCHW"))
+    hi = jax.lax.Precision.HIGHEST
     x = jax.lax.conv_general_dilated(
-        x, kern_h, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C
+        x, kern_h, (1, 1), "SAME", dimension_numbers=dn,
+        feature_group_count=C, precision=hi,
     )
     x = jax.lax.conv_general_dilated(
-        x, kern_w, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C
+        x, kern_w, (1, 1), "SAME", dimension_numbers=dn,
+        feature_group_count=C, precision=hi,
     )
     return jnp.moveaxis(x, 1, -1)
 
