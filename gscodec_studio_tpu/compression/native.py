@@ -32,13 +32,20 @@ def get_lib() -> ctypes.CDLL:
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        lib_path = os.path.join(_CSRC, "libgsc_native.so")
-        newest_src = max(
-            os.path.getmtime(os.path.join(_CSRC, f))
-            for f in os.listdir(_CSRC)
-            if f.endswith(".cpp")
+        # Key the build artifact on a content hash of the sources: after a
+        # fresh clone mtimes are checkout time (unreliable), and the .so is
+        # never committed (it is machine-specific, built with -march=native).
+        import hashlib
+
+        h = hashlib.sha256()
+        for f in sorted(os.listdir(_CSRC)):
+            if f.endswith(".cpp"):
+                with open(os.path.join(_CSRC, f), "rb") as fh:
+                    h.update(fh.read())
+        lib_path = os.path.join(
+            _CSRC, f"libgsc_native.{h.hexdigest()[:16]}.so"
         )
-        if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < newest_src:
+        if not os.path.exists(lib_path):
             _build(lib_path)
         lib = ctypes.CDLL(lib_path)
         u8p = ctypes.POINTER(ctypes.c_uint8)

@@ -160,6 +160,17 @@ class Dataset:
         image = imageio.imread(p.image_paths[idx])[..., :3]
         cam_id = p.camera_ids[idx]
         K = p.Ks_dict[cam_id].copy()
+        # K was divided by `factor`, but the image may have been loaded from
+        # the full-resolution images/ dir (no images_{factor} available).
+        # Silently proceeding would train full-res pixels against
+        # quarter-scale intrinsics; resize to the expected size instead.
+        exp_w, exp_h = p.imsize_dict[cam_id]
+        if (image.shape[1], image.shape[0]) != (exp_w, exp_h):
+            import cv2
+
+            image = cv2.resize(
+                image, (exp_w, exp_h), interpolation=cv2.INTER_AREA
+            )
         dist = p.dist_dict[cam_id]
         if np.any(dist != 0):
             import cv2

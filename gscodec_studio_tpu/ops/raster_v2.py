@@ -1,0 +1,1075 @@
+"""Fused tile-rasterization pipeline v2/v3 (binning + Pallas tile kernels).
+
+TPU-native re-design of the reference CUDA rasterization stack
+(/root/reference/gsplat/cuda/csrc/isect_tiles.cu,
+rasterize_to_pixels_fwd.cu, rasterize_to_pixels_bwd.cu). The XLA plumbing
+around the Pallas kernels was the round-1 bottleneck; this pipeline is
+built from primitives measured fast on this TPU (profiling/sort_bench.py,
+build_bisect.py, take_bisect.py): variadic ``lax.sort`` is ~2-4 ns/row
+regardless of payload count, while XLA gathers/scatters of isect-scale
+tables cost ~35 ns/row and relayouts (jnp.stack of sorted operands) tens of
+ms — so every permutation runs through a sort and every layout change
+through a trivial Pallas pack kernel.
+
+Pipeline:
+  1. per-Gaussian tile rectangles + counts (elementwise);
+  2. compaction-and-depth sort: ONE variadic sort of the per-Gaussian
+     attribute table keyed by (visible ? depth : +inf) — this both drops
+     culled Gaussians from the working prefix and establishes global depth
+     order, so the later per-tile order needs no depth key at all;
+  3. expansion: a Pallas kernel enumerates the fixed-capacity intersection
+     list. Each 512-row output block covers a contiguous window of the
+     compacted table (every compacted Gaussian has >= 1 intersection, so
+     512 outputs span <= 512 table rows); the row->Gaussian assignment is an
+     on-chip one-hot matrix and the attribute broadcast is an MXU matmul,
+     made bit-exact by a 3-way bf16 split of the f32 table (8+8+8 mantissa
+     bits; one-hot entries are exact in bf16);
+  4. ONE stable single-key sort by tile id carrying all per-isect
+     attributes (depth order within a tile is inherited from step 2);
+  5. a pack kernel lays the sorted operands out attr-major [d_s, cap] so
+     kernel chunk DMAs are lane-aligned 128-wide windows; a tile's run is
+     masked by its [start, end) range — no alignment/padding pass exists;
+  6. forward/backward Pallas kernels iterate a grid over TILES with an
+     inner double-buffered manual-DMA loop over the tile's chunks and
+     chunk-level early termination. Pair math runs in (P, K) layout:
+     pixels on sublanes, gaussians on lanes, the front-to-back
+     transmittance scan is a log2(K)-step roll-multiply along lanes, color
+     accumulation is an MXU contraction;
+  7. the backward writes per-(tile, chunk) gradient blocks (collision-free
+     by construction) plus the Gaussian id; early-terminated and masked
+     chunks still get their id row written (a light 2-DMA loop) so that the
+     id-sorted gradient rows contain EVERY visible Gaussian — which makes
+     the per-Gaussian reduction a deterministic sort + prefix-sum +
+     end-compaction-sort chain with no gather or atomics (replaces
+     bwd.cu's warp-reduced atomicAdds).
+
+Early-termination semantics reproduce the CUDA rule exactly (a Gaussian
+renders iff the inclusive transmittance product stays > 1e-4,
+fwd.cu:137-166); there is no approximate mode. absgrad (|dL/d means2d|
+accumulation, bwd.cu:232-234) is produced by the same reduction when
+requested.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_THRESHOLD = 1.0 / 255.0
+TRANSMITTANCE_EPS = 1e-4
+MAX_ALPHA = 0.999
+
+K = 128  # gaussians per chunk == lane width
+EXPAND_B = 512  # expansion sub-block (outputs per one-hot matmul)
+EXPAND_BW = EXPAND_B + 128  # candidate window (128-aligned DMA start slack)
+EXPAND_SB = 8  # sub-blocks per expansion grid step
+INT32_MAX = np.iinfo(np.int32).max
+PAD_ID = 3.0e7  # f32 id sentinel for padding grad rows (> any real id)
+
+
+class V2Cfg(NamedTuple):
+    C: int
+    tile_width: int
+    tile_height: int
+    tile_size: int
+    channels: int
+    cap: int  # isect capacity (multiple of EXPAND_B*EXPAND_SB)
+    n: int  # gaussians per camera
+    tiles_per_step: int
+    interpret: bool
+    absgrad: bool
+
+    @property
+    def n_tiles(self):
+        return self.C * self.tile_width * self.tile_height
+
+    @property
+    def pixels(self):
+        return self.tile_size * self.tile_size
+
+    @property
+    def d_s(self):
+        # sorted attr rows: x, y, ca, cb, cc, op, colors[CH], id
+        return _round8(7 + self.channels)
+
+    @property
+    def d_g(self):
+        # grad rows: vx, vy, vca, vcb, vcc, vop, vcolors[CH], id [, absx, absy]
+        return _round8(7 + self.channels + (2 if self.absgrad else 0))
+
+    @property
+    def chp(self):
+        return self.channels + 1
+
+    @property
+    def n_steps(self):
+        return -(-self.n_tiles // self.tiles_per_step)
+
+    @property
+    def d_t(self):
+        # expansion table rows: cum, cnt, base, nx, cidx, x, y, ca, cb, cc,
+        # op, colors[CH]
+        return _round8(11 + self.channels)
+
+    @property
+    def slot_cap(self):
+        # sum over tiles of chunks-spanned <= cap/K + n_tiles, rounded so
+        # slot_cap*K is a multiple of the pack-kernel block
+        raw = self.cap // K + self.n_tiles + 1
+        return ((raw + 31) // 32) * 32
+
+
+def _round8(x):
+    return ((x + 7) // 8) * 8
+
+
+def _supports_mosaic() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+# ---------------------------------------------------------------------------
+# Layout helpers: pack / unpack between n separate [L] arrays and an
+# attr-major [R, L] block (XLA's own stack/slice relayouts cost tens of ms
+# at isect scale; these stream at bandwidth).
+# ---------------------------------------------------------------------------
+
+
+def _pick_blk(L: int) -> int:
+    for blk in (1 << 16, 1 << 14, 1 << 12, 1 << 10, 256, 128):
+        if L % blk == 0:
+            return blk
+    return L
+
+
+def _pack_kernel(n_in, R, *refs):
+    ins = refs[:n_in]
+    out = refs[n_in]
+    for j in range(n_in):
+        out[j : j + 1, :] = ins[j][:]
+    if n_in < R:
+        out[n_in:R, :] = jnp.zeros_like(out[n_in:R, :])
+
+
+def pack_rows(arrays, R: int, interpret: bool) -> jnp.ndarray:
+    """[L] x n (f32) -> [R, L] attr-major (rows >= n zero-filled)."""
+    n = len(arrays)
+    L = arrays[0].shape[0]
+    blk = _pick_blk(L)
+    a2 = [a.reshape(1, L) for a in arrays]
+    return pl.pallas_call(
+        functools.partial(_pack_kernel, n, R),
+        grid=(L // blk,),
+        in_specs=[
+            pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for _ in range(n)
+        ],
+        out_specs=pl.BlockSpec(
+            (R, blk), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, L), jnp.float32),
+        interpret=interpret,
+    )(*a2)
+
+
+def _unpack_kernel(n_out, *refs):
+    src = refs[0]
+    for j in range(n_out):
+        refs[1 + j][:] = src[j : j + 1, :]
+
+
+def unpack_rows(block: jnp.ndarray, n: int, interpret: bool):
+    """[R, L] attr-major -> n separate [1, L] arrays (first n rows)."""
+    R, L = block.shape
+    blk = _pick_blk(L)
+    outs = pl.pallas_call(
+        functools.partial(_unpack_kernel, n),
+        grid=(L // blk,),
+        in_specs=[
+            pl.BlockSpec((R, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for _ in range(n)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, L), jnp.float32) for _ in range(n)
+        ],
+        interpret=interpret,
+    )(block)
+    return [o.reshape(L) for o in outs]
+
+
+# ---------------------------------------------------------------------------
+# Binning: counts (XLA elementwise)
+# ---------------------------------------------------------------------------
+
+
+def tile_counts(means2d, radii, tile_size, tile_width, tile_height):
+    """Per-Gaussian tile-rectangle bounds + counts (isect_tiles.cu:49-77 /
+    _torch_impl.py:351-360 rule)."""
+    dt = means2d.dtype
+    tm = means2d / tile_size
+    tr = radii.astype(dt) / tile_size
+    x0 = jnp.clip(jnp.floor(tm[..., 0] - tr), 0, tile_width).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(tm[..., 1] - tr), 0, tile_height).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil(tm[..., 0] + tr), 0, tile_width).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil(tm[..., 1] + tr), 0, tile_height).astype(jnp.int32)
+    nx = x1 - x0
+    counts = jnp.where(radii > 0, nx * (y1 - y0), 0)
+    return x0, y0, nx, counts
+
+
+# ---------------------------------------------------------------------------
+# Expansion kernel: compacted gaussian table -> per-isect rows + tile keys
+# ---------------------------------------------------------------------------
+
+# table_T rows (attr-major, [16, M_pad]):
+_TR_CUM = 0  # inclusive isect-count prefix (f32, exact: cap < 2^24)
+_TR_CNT = 1  # per-gaussian tile count
+_TR_BASE = 2  # first tile id (cam*TH*TW + y0*TW + x0)
+_TR_NX = 3  # rect width in tiles
+_TR_CIDX = 4  # compacted index (= row number, f32)
+_TR_ATTR = 5  # x, y, ca, cb, cc, op, colors[CH]  (5 .. 5+6+CH)
+
+
+def _expand_kernel(cfg: V2Cfg, nattr, g0blk_ref, tot_ref, t_hbm, tile_ref,
+                   out_refs_and_scratch):
+    out_refs = out_refs_and_scratch[:-2]
+    win, sems = out_refs_and_scratch[-2:]
+    B = EXPAND_B
+    BW = EXPAND_BW
+    SB = EXPAND_SB
+    step = pl.program_id(0)
+
+    def dma(j):
+        # window start must be provably 128-aligned for a tiled memref
+        # slice; g0blk is the aligned block index (true g0 is recovered by
+        # the cum-window compares, which tolerate leading extra candidates)
+        return pltpu.make_async_copy(
+            t_hbm.at[:, pl.ds(g0blk_ref[step * SB + j] * 128, BW)],
+            win.at[j],
+            sems.at[j],
+        )
+
+    for j in range(SB):
+        dma(j).start()
+
+    total = tot_ref[0]
+    for j in range(SB):
+        dma(j).wait()
+        w = win[j]  # (d_t, BW)
+        p0 = (step * SB + j) * B
+        # one-hot row->gaussian assignment: p on sublanes, g on lanes
+        pgs = (jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) + p0).astype(
+            jnp.float32
+        )
+        cum_i = w[_TR_CUM : _TR_CUM + 1, :]
+        cnt = w[_TR_CNT : _TR_CNT + 1, :]
+        cum_e = cum_i - cnt
+        oh = ((cum_e <= pgs) & (pgs < cum_i)).astype(jnp.bfloat16)  # (Bp, BWg)
+        # bit-exact f32 selection: 3-way bf16 split (8+8+8 mantissa bits)
+        w1 = w.astype(jnp.bfloat16)
+        r1 = w - w1.astype(jnp.float32)
+        w2 = r1.astype(jnp.bfloat16)
+        w3 = (r1 - w2.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))  # contract g lanes -> (16, Bp)
+        sel = (
+            jax.lax.dot_general(w1, oh, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(w2, oh, dn,
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(w3, oh, dn,
+                                  preferred_element_type=jnp.float32)
+        )
+        pgl = (jax.lax.broadcasted_iota(jnp.int32, (1, B), 1) + p0).astype(
+            jnp.float32
+        )
+        rank = pgl - (sel[_TR_CUM : _TR_CUM + 1, :]
+                      - sel[_TR_CNT : _TR_CNT + 1, :])
+        nxr = jnp.maximum(sel[_TR_NX : _TR_NX + 1, :], 1.0)
+        dy = jnp.floor(rank / nxr)
+        dx = rank - dy * nxr
+        tile = (sel[_TR_BASE : _TR_BASE + 1, :] + dy * cfg.tile_width
+                + dx).astype(jnp.int32)
+        valid = pgl < total.astype(jnp.float32)
+        tile_ref[0:1, pl.ds(j * B, B)] = jnp.where(valid, tile, INT32_MAX)
+        # id payload (compacted index)
+        out_refs[0][0:1, pl.ds(j * B, B)] = sel[_TR_CIDX : _TR_CIDX + 1, :]
+        for a in range(nattr):
+            out_refs[1 + a][0:1, pl.ds(j * B, B)] = sel[
+                _TR_ATTR + a : _TR_ATTR + a + 1, :
+            ]
+
+
+def _run_expand(cfg: V2Cfg, table_T, g0s, total):
+    B, SB = EXPAND_B, EXPAND_SB
+    cap = cfg.cap
+    nattr = 6 + cfg.channels
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cap // (B * SB),),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, B * SB), lambda i, g, t: (0, i),
+                         memory_space=pltpu.VMEM)
+            for _ in range(1 + 1 + nattr)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SB, cfg.d_t, EXPAND_BW), jnp.float32),
+            pltpu.SemaphoreType.DMA((SB,)),
+        ],
+    )
+    out_shapes = [jax.ShapeDtypeStruct((1, cap), jnp.int32)] + [
+        jax.ShapeDtypeStruct((1, cap), jnp.float32) for _ in range(1 + nattr)
+    ]
+
+    def kernel(g0blk_ref, tot_ref, t_hbm, tile_ref, *rest):
+        _expand_kernel(cfg, nattr, g0blk_ref, tot_ref, t_hbm, tile_ref, rest)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=cfg.interpret,
+    )(g0s, total, table_T)
+    tile = outs[0].reshape(cap)
+    idf = outs[1].reshape(cap)
+    attrs = [o.reshape(cap) for o in outs[2:]]
+    return tile, idf, attrs
+
+
+def _build_sorted(cfg: V2Cfg, means2d, conics, colors, opacities, depths,
+                  radii):
+    """Compaction-depth sort + Pallas expansion + stable tile sort.
+
+    Returns (S [d_s, cap] attr-major sorted rows, starts [n_tiles+1],
+    aux dict for the backward reduction)."""
+    C, N = cfg.C, cfg.n
+    M = C * N
+    assert M < (1 << 24), "f32-exact gaussian ids require C*N < 2^24"
+    TW, TH, ts = cfg.tile_width, cfg.tile_height, cfg.tile_size
+    CH = cfg.channels
+    cap = cfg.cap
+
+    x0, y0, nx, counts = tile_counts(means2d, radii, ts, TW, TH)
+    counts = counts.reshape(M)
+    visible = counts > 0
+    depth_key = jnp.where(visible, depths.reshape(M), jnp.inf).astype(
+        jnp.float32
+    )
+    cam = jnp.arange(C, dtype=jnp.int32)[:, None]
+    base = (cam * (TW * TH) + y0 * TW + x0).reshape(M).astype(jnp.float32)
+    origid = jnp.arange(M, dtype=jnp.float32)
+
+    ops = (
+        depth_key,
+        counts.astype(jnp.float32),
+        base,
+        jnp.maximum(nx.reshape(M), 1).astype(jnp.float32),
+        means2d.reshape(M, 2)[:, 0].astype(jnp.float32),
+        means2d.reshape(M, 2)[:, 1].astype(jnp.float32),
+        conics.reshape(M, 3)[:, 0].astype(jnp.float32),
+        conics.reshape(M, 3)[:, 1].astype(jnp.float32),
+        conics.reshape(M, 3)[:, 2].astype(jnp.float32),
+        opacities.reshape(M).astype(jnp.float32),
+    ) + tuple(
+        colors.reshape(M, CH)[:, i].astype(jnp.float32) for i in range(CH)
+    ) + (origid,)
+    so = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    counts_s = so[1]
+    cum_i32 = jnp.cumsum(counts_s.astype(jnp.int32))
+    total = cum_i32[-1]
+    n_isects = jnp.minimum(total, cap)
+    origid_s = so[-1]
+
+    # table rows: cum, cnt, base, nx, cidx, x, y, ca, cb, cc, op, colors[CH]
+    # pad the table to a fixed granularity so the pack kernel gets an
+    # evenly-divisible length (M itself may be odd)
+    M_pad = ((M + EXPAND_BW + 4095) // 4096) * 4096
+    padv = lambda a, v: jnp.concatenate(
+        [a, jnp.full((M_pad - M,), v, jnp.float32)]
+    )
+    rows = [
+        padv(cum_i32.astype(jnp.float32), 3.0e7),
+        padv(counts_s, 0.0),
+        padv(so[2], 0.0),
+        padv(so[3], 1.0),
+        padv(jnp.arange(M, dtype=jnp.float32), 0.0),
+    ] + [padv(so[4 + i], 0.0) for i in range(6 + CH)]
+    table_T = pack_rows(rows, cfg.d_t, cfg.interpret)
+
+    g0s = jnp.searchsorted(
+        cum_i32, jnp.arange(0, cap, EXPAND_B, dtype=jnp.int32), side="right"
+    ).astype(jnp.int32)
+    g0blk = jnp.minimum(g0s // 128, (M_pad - EXPAND_BW) // 128)
+    tile, idf, attrs = _run_expand(
+        cfg, table_T, g0blk, n_isects.reshape(1)
+    )
+
+    so2 = jax.lax.sort(
+        (tile,) + tuple(attrs) + (idf,), num_keys=1, is_stable=True
+    )
+    tile_sorted = so2[0]
+    S = pack_rows(list(so2[1:]), cfg.d_s, cfg.interpret)
+
+    starts = jnp.searchsorted(
+        tile_sorted, jnp.arange(cfg.n_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    aux = dict(cum_i32=cum_i32, origid_s=origid_s,
+               visible_s=counts_s > 0, n_isects=n_isects)
+    return S, starts, aux
+
+
+# ---------------------------------------------------------------------------
+# Shared kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _shift_lane(x, sh, fill):
+    rolled = pltpu.roll(x, sh, 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(idx < sh, fill, rolled)
+
+
+def _cumprod_excl_lane(x):
+    """Exclusive cumulative product along lanes (width must be a power of
+    two): log2-step roll-and-multiply scan, exact f32."""
+    y = _shift_lane(x, 1, 1.0)
+    sh = 1
+    while sh < x.shape[1]:
+        y = y * _shift_lane(y, sh, 1.0)
+        sh *= 2
+    return y
+
+
+def _cumsum_incl_lane(x):
+    sh = 1
+    while sh < x.shape[1]:
+        x = x + _shift_lane(x, sh, 0.0)
+        sh *= 2
+    return x
+
+
+def _pixel_coords(cfg: V2Cfg, t):
+    """Pixel-center coords of tile ``t`` as (P, 1) columns."""
+    ts = cfg.tile_size
+    P = cfg.pixels
+    rem = t % (cfg.tile_width * cfg.tile_height)
+    ty = rem // cfg.tile_width
+    tx = rem % cfg.tile_width
+    p = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = ((tx * ts + p % ts).astype(jnp.float32)) + 0.5
+    py = ((ty * ts + p // ts).astype(jnp.float32)) + 0.5
+    return px, py
+
+
+def _chunk_pair(cfg, chunk, px, py, c, off, end):
+    """Per-chunk pair math in (P, K); returns dict of (P,K)/(1,K) maps."""
+    xs, ys = chunk[0:1, :], chunk[1:2, :]
+    ca, cb, cc = chunk[2:3, :], chunk[3:4, :], chunk[4:5, :]
+    op = chunk[5:6, :]
+    dx = xs - px  # (P, K)
+    dy = ys - py
+    sigma = (0.5 * ca) * (dx * dx) + (0.5 * cc) * (dy * dy) + cb * (dx * dy)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + c * K
+    inr = (lane >= off) & (lane < end)
+    alpha_raw = op * jnp.exp(-sigma)
+    alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
+    valid = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & inr
+    alpha = jnp.where(valid, alpha, 0.0)
+    return dict(dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, op=op, sigma=sigma,
+                alpha=alpha, valid=valid, inr=inr,
+                clamped=alpha_raw > MAX_ALPHA)
+
+
+def _composite(alpha, t_cur):
+    """Front-to-back weights with the exact CUDA inclusive-product cutoff.
+    t_cur: (P, 1) carried transmittance. Returns (w, m, t_prev, t_new)."""
+    oma = 1.0 - alpha
+    t_prev = _cumprod_excl_lane(oma) * t_cur
+    t_incl = t_prev * oma
+    m = t_incl > TRANSMITTANCE_EPS
+    w = alpha * t_prev * jnp.where(m, 1.0, 0.0)
+    t_new = jnp.min(
+        jnp.where(m, t_incl, jnp.broadcast_to(t_cur, t_incl.shape)),
+        axis=1, keepdims=True,
+    )
+    t_new = jnp.minimum(t_cur, t_new)
+    return w, m, t_prev, t_new
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(cfg: V2Cfg, starts_ref, masks_ref, s_hbm, out_ref, bufs,
+                sems):
+    P = cfg.pixels
+    CH = cfg.channels
+    G = cfg.tiles_per_step
+    step = pl.program_id(0)
+
+    def dma(g, parity, c):
+        return pltpu.make_async_copy(
+            s_hbm.at[:, pl.ds(c * K, K)],
+            bufs.at[2 * g + parity],
+            sems.at[2 * g + parity],
+        )
+
+    t0 = step * G
+    # warm-up: first chunk of every tile in this step
+    for g in range(G):
+        t = t0 + g
+        off = starts_ref[t]
+        end = starts_ref[t + 1]
+
+        @pl.when((end > off) & (masks_ref[t] > 0))
+        def _():
+            dma(g, 0, off // K).start()
+
+    for g in range(G):
+        t = t0 + g
+        off = starts_ref[t]
+        end = starts_ref[t + 1]
+        enabled = masks_ref[t] > 0
+        c0 = off // K
+        c1 = jnp.where((end > off) & enabled, (end + K - 1) // K, c0)
+        px, py = _pixel_coords(cfg, t)
+
+        def cond(carry):
+            c, t_cur, _ = carry
+            return (c < c1) & (jnp.max(t_cur) > TRANSMITTANCE_EPS)
+
+        def body(carry):
+            c, t_cur, acc = carry
+            parity = (c - c0) % 2
+
+            @pl.when(c + 1 < c1)
+            def _():
+                dma(g, (parity + 1) % 2, c + 1).start()
+
+            dma(g, parity, c).wait()
+            chunk = bufs[2 * g + parity]  # (d_s, K)
+            pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
+            w, m, t_prev, t_new = _composite(pr["alpha"], t_cur)
+            acc = acc + jax.lax.dot_general(
+                w, chunk[6:6 + CH, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (P, CH)
+            return c + 1, t_new, acc
+
+        c_fin, t_fin, acc = jax.lax.while_loop(
+            cond, body,
+            (c0, jnp.ones((P, 1), jnp.float32), jnp.zeros((P, CH), jnp.float32)),
+        )
+
+        # drain the possibly in-flight prefetch
+        @pl.when(c_fin < c1)
+        def _():
+            dma(g, (c_fin - c0) % 2, c_fin).wait()
+
+        out_ref[g, :, :CH] = acc
+        out_ref[g, :, CH:CH + 1] = 1.0 - t_fin
+
+
+def _run_fwd(cfg: V2Cfg, S, starts_padded, masks_padded):
+    G = cfg.tiles_per_step
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cfg.n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (G, cfg.pixels, cfg.chp), lambda i, s, m: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * G, cfg.d_s, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * G,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (cfg.n_steps * G, cfg.pixels, cfg.chp), jnp.float32
+        ),
+        interpret=cfg.interpret,
+    )(starts_padded, masks_padded, S)
+    return out[: cfg.n_tiles]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
+                vt_ref, gbuf_in, gbuf_hbm, wbufs, bufs, sems, wsems, wflag):
+    del gbuf_in  # aliased with gbuf_hbm (prefilled id row)
+    P = cfg.pixels
+    CH = cfg.channels
+    G = cfg.tiles_per_step
+    step = pl.program_id(0)
+    idrow = 6 + CH
+
+    def dma(g, parity, c):
+        return pltpu.make_async_copy(
+            s_hbm.at[:, pl.ds(c * K, K)],
+            bufs.at[2 * g + parity],
+            sems.at[2 * g + parity],
+        )
+
+    idr0 = (idrow // 8) * 8  # sublane-aligned row block containing idrow
+
+    def dma_idrow(g, parity, c):
+        # light path: only the 8-row block holding the id row of the chunk
+        return pltpu.make_async_copy(
+            s_hbm.at[idr0:idr0 + 8, pl.ds(c * K, K)],
+            bufs.at[2 * g + parity, idr0:idr0 + 8],
+            sems.at[2 * g + parity],
+        )
+
+    t0 = step * G
+    for g in range(G):
+        wflag[2 * g] = 0
+        wflag[2 * g + 1] = 0
+        t = t0 + g
+        off = starts_ref[t]
+        end = starts_ref[t + 1]
+
+        @pl.when((end > off) & (masks_ref[t] > 0))
+        def _():
+            dma(g, 0, off // K).start()
+
+        @pl.when((end > off) & (masks_ref[t] == 0))
+        def _():
+            dma_idrow(g, 0, off // K).start()
+
+    for g in range(G):
+        t = t0 + g
+        off = starts_ref[t]
+        end = starts_ref[t + 1]
+        enabled = masks_ref[t] > 0
+        c0 = off // K
+        c1 = jnp.where(end > off, (end + K - 1) // K, c0)
+        c1_full = jnp.where(enabled, c1, c0)
+        slot0 = slot_ref[t]
+        px, py = _pixel_coords(cfg, t)
+
+        v_out = vt_ref[g]  # (P, CHP)
+        c_out = ct_ref[g]
+        v_c = v_out[:, :CH]  # (P, CH)
+        v_a = v_out[:, CH:CH + 1]  # (P, 1)
+        t_final = 1.0 - c_out[:, CH:CH + 1]
+        q0 = jnp.sum(c_out[:, :CH] * v_c, axis=1, keepdims=True)  # (P, 1)
+
+        def wait_write(wslot):
+            @pl.when(wflag[wslot] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    wbufs.at[wslot], wbufs.at[wslot], wsems.at[wslot]
+                ).wait()
+
+        def cond(carry):
+            c, t_cur, _ = carry
+            return (c < c1_full) & (jnp.max(t_cur) > TRANSMITTANCE_EPS)
+
+        def body(carry):
+            c, t_cur, q_cur = carry
+            parity = (c - c0) % 2
+
+            @pl.when(c + 1 < c1_full)
+            def _():
+                dma(g, (parity + 1) % 2, c + 1).start()
+
+            dma(g, parity, c).wait()
+            chunk = bufs[2 * g + parity]  # (d_s, K)
+            pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
+            alpha = pr["alpha"]
+            w, m, t_prev, t_new = _composite(alpha, t_cur)
+
+            # G[p, k] = sum_ch color_k[ch] * v_c[p, ch]
+            Gpk = jax.lax.dot_general(
+                v_c, chunk[6:6 + CH, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (P, K)
+            u = w * Gpk
+            s = q_cur - _cumsum_incl_lane(u)  # suffix color term after k
+            oma = 1.0 - alpha
+            inv_oma = 1.0 / jnp.where(oma > 0, oma, 1.0)
+            v_alpha = t_prev * Gpk - s * inv_oma + v_a * t_final * inv_oma
+            v_alpha = v_alpha * jnp.where(m, 1.0, 0.0)
+            dvalid = jnp.where(
+                pr["valid"] & jnp.logical_not(pr["clamped"]), 1.0, 0.0
+            )
+            v_sig = -alpha * v_alpha * dvalid  # (P, K)
+            dx, dy = pr["dx"], pr["dy"]
+
+            rsum = lambda x: jnp.sum(x, axis=0, keepdims=True)  # (1, K)
+            vx = rsum(v_sig * (pr["ca"] * dx + pr["cb"] * dy))
+            vy = rsum(v_sig * (pr["cc"] * dy + pr["cb"] * dx))
+
+            wslot = 2 * g + parity
+            wb = wbufs.at[wslot]
+
+            # wait for the previous write using this buffer (if any)
+            wait_write(wslot)
+            wbufs[wslot, 0:1, :] = vx
+            wbufs[wslot, 1:2, :] = vy
+            wbufs[wslot, 2:3, :] = rsum(v_sig * 0.5 * dx * dx)
+            wbufs[wslot, 3:4, :] = rsum(v_sig * dx * dy)
+            wbufs[wslot, 4:5, :] = rsum(v_sig * 0.5 * dy * dy)
+            wbufs[wslot, 5:6, :] = rsum(
+                v_alpha * jnp.exp(-pr["sigma"]) * dvalid
+            )
+            # v_color[ch, k] = sum_p w[p, k] * v_c[p, ch]
+            wbufs[wslot, 6:6 + CH, :] = jax.lax.dot_general(
+                v_c, w, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            wbufs[wslot, idrow:idrow + 1, :] = jnp.where(
+                pr["inr"], chunk[idrow:idrow + 1, :], PAD_ID
+            )
+            if cfg.absgrad:
+                wbufs[wslot, idrow + 1:idrow + 2, :] = jnp.abs(vx)
+                wbufs[wslot, idrow + 2:idrow + 3, :] = jnp.abs(vy)
+            slot = slot0 + (c - c0)
+            pltpu.make_async_copy(
+                wb, gbuf_hbm.at[:, pl.ds(slot * K, K)], wsems.at[wslot]
+            ).start()
+            wflag[wslot] = 1
+
+            q_new = q_cur - jnp.sum(u, axis=1, keepdims=True)
+            return c + 1, t_new, q_new
+
+        start_c = jnp.where(enabled, c0, c1)  # masked tile: skip main loop
+        c_fin, _, _ = jax.lax.while_loop(
+            cond, body, (start_c, jnp.ones((P, 1), jnp.float32), q0)
+        )
+
+        # drain the possibly in-flight full-chunk prefetch
+        @pl.when(c_fin < c1_full)
+        def _():
+            dma(g, (c_fin - c0) % 2, c_fin).wait()
+
+        # Light id-row pass over the chunks never reached (early termination
+        # or masked tile): the reduction's rank==id alignment requires every
+        # in-range intersection to appear exactly once in the id-sorted
+        # gradient rows, so skipped chunks contribute (id, zero-grad) rows.
+        c_light0 = jnp.where(enabled, c_fin, c0)
+
+        @pl.when((c_light0 < c1) & jnp.logical_not(enabled))
+        def _():
+            dma_idrow(g, (c_light0 - c0) % 2, c_light0).wait()
+
+        @pl.when((c_light0 < c1) & enabled)
+        def _():
+            dma_idrow(g, (c_light0 - c0) % 2, c_light0).start()
+            dma_idrow(g, (c_light0 - c0) % 2, c_light0).wait()
+
+        def cond_l(carry):
+            c, = carry
+            return c < c1
+
+        def body_l(carry):
+            c, = carry
+            parity = (c - c0) % 2
+
+            @pl.when(c + 1 < c1)
+            def _():
+                dma_idrow(g, (parity + 1) % 2, c + 1).start()
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + c * K
+            inr = (lane >= off) & (lane < end)
+            ids = bufs[2 * g + parity, idrow:idrow + 1, :]
+            wslot = 2 * g + parity
+            wait_write(wslot)
+            wbufs[wslot, 0:idrow, :] = jnp.zeros((idrow, K), jnp.float32)
+            wbufs[wslot, idrow:idrow + 1, :] = jnp.where(inr, ids, PAD_ID)
+            if cfg.absgrad:
+                wbufs[wslot, idrow + 1:idrow + 3, :] = jnp.zeros(
+                    (2, K), jnp.float32
+                )
+            slot = slot0 + (c - c0)
+            pltpu.make_async_copy(
+                wbufs.at[wslot], gbuf_hbm.at[:, pl.ds(slot * K, K)],
+                wsems.at[wslot],
+            ).start()
+            wflag[wslot] = 1
+
+            @pl.when(c + 1 < c1)
+            def _():
+                dma_idrow(g, (parity + 1) % 2, c + 1).wait()
+
+            return (c + 1,)
+
+        jax.lax.while_loop(cond_l, body_l, (c_light0,))
+
+    # drain all pending grad writes before the step ends
+    for ws in range(2 * G):
+        @pl.when(wflag[ws] == 1)
+        def _():
+            pltpu.make_async_copy(
+                wbufs.at[ws], wbufs.at[ws], wsems.at[ws]
+            ).wait()
+
+
+def _run_bwd(cfg: V2Cfg, S, starts_padded, slot_base, masks_padded, ct, vt,
+             gbuf_init):
+    G = cfg.tiles_per_step
+    P = cfg.pixels
+    tb = lambda: pl.BlockSpec(
+        (G, P, cfg.chp), lambda i, s, sl, m: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(cfg.n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # S
+            tb(),  # ct (fwd tile outputs)
+            tb(),  # vt (cotangents)
+            pl.BlockSpec(memory_space=pl.ANY),  # gbuf (aliased to output)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2 * G, cfg.d_g, K), jnp.float32),
+            pltpu.VMEM((2 * G, cfg.d_s, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * G,)),
+            pltpu.SemaphoreType.DMA((2 * G,)),
+            pltpu.SMEM((2 * G,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (cfg.d_g, cfg.slot_cap * K), jnp.float32
+        ),
+        input_output_aliases={6: 0},  # gbuf_init (after 3 prefetch args) -> out
+        interpret=cfg.interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts_padded, slot_base, masks_padded, S, ct, vt, gbuf_init)
+
+
+# ---------------------------------------------------------------------------
+# Per-Gaussian reduction: id-sort + prefix sums + end-compaction (no
+# atomics, no gathers; deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _reduce_grads(cfg: V2Cfg, gbuf, aux):
+    """gbuf [d_g, slot_cap*K] -> (v_flat [M, 6+CH], absgrad [M, 2] | None),
+    both in ORIGINAL gaussian order.
+
+    Every in-range intersection appears exactly once in gbuf with its
+    compacted-gaussian id (the bwd kernel light-writes skipped chunks), so
+    after sorting rows by id the runs appear in compact-id order with no id
+    absent: the r-th run belongs to compact id r. Prefix sums + the
+    rows-where-id-changes give each run's sum; a final sort by the original
+    id restores input order."""
+    CH = cfg.channels
+    M = cfg.C * cfg.n
+    idrow = 6 + CH
+    nval = 6 + CH + (2 if cfg.absgrad else 0)
+    L = gbuf.shape[1]
+    assert L >= M, "isect capacity too small for the reduction layout"
+
+    cols = unpack_rows(gbuf, idrow + 1 + (2 if cfg.absgrad else 0),
+                       cfg.interpret)
+    ids = cols[idrow]
+    vals = cols[:idrow] + (cols[idrow + 1:] if cfg.absgrad else [])
+
+    so = jax.lax.sort((ids,) + tuple(vals), num_keys=1, is_stable=False)
+    ids_s = so[0]
+    csums = [jnp.cumsum(v) for v in so[1:]]
+
+    nxt = jnp.concatenate([ids_s[1:], jnp.full((1,), -1.0, jnp.float32)])
+    is_end = (ids_s != nxt) & (ids_s < PAD_ID * 0.5)
+    endkey = jnp.where(is_end, ids_s, jnp.inf)
+    so2 = jax.lax.sort((endkey,) + tuple(csums), num_keys=1, is_stable=False)
+    at_end = [c[:M] for c in so2[1:]]
+
+    vis = aux["visible_s"]
+    seg = []
+    for c in at_end:
+        prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), c[:-1]])
+        seg.append(jnp.where(vis, c - prev, 0.0))
+
+    # back to original order
+    so3 = jax.lax.sort(
+        (aux["origid_s"],) + tuple(seg), num_keys=1, is_stable=False
+    )
+    v_flat = jnp.stack(so3[1 : 1 + 6 + CH], axis=-1)  # [M, 6+CH]
+    absg = (
+        jnp.stack(so3[1 + 6 + CH : 1 + nval], axis=-1)
+        if cfg.absgrad else None
+    )
+    return v_flat, absg
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp core
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _raster_core(cfg, means2d, conics, colors, opacities, depths, radii,
+                 masks):
+    out, _ = _raster_core_fwd(
+        cfg, means2d, conics, colors, opacities, depths, radii, masks
+    )
+    return out
+
+
+def _starts_padded(cfg, starts):
+    # pad so tiles beyond n_tiles in the last grid step read empty runs
+    pad = cfg.n_steps * cfg.tiles_per_step + 1 - starts.shape[0]
+    return jnp.concatenate(
+        [starts, jnp.broadcast_to(starts[-1:], (pad,))]
+    ) if pad > 0 else starts
+
+
+def _masks_padded(cfg, masks):
+    n = cfg.n_steps * cfg.tiles_per_step
+    if masks.shape[0] == 0:
+        return jnp.ones((n,), jnp.int32)
+    pad = n - masks.shape[0]
+    if pad > 0:
+        masks = jnp.concatenate([masks, jnp.zeros((pad,), jnp.int32)])
+    return masks
+
+
+def _raster_core_fwd(cfg, means2d, conics, colors, opacities, depths, radii,
+                     masks):
+    S, starts, aux = _build_sorted(
+        cfg, means2d, conics, colors, opacities, depths, radii
+    )
+    sp = _starts_padded(cfg, starts)
+    mp = _masks_padded(cfg, masks)
+    tiles_out = _run_fwd(cfg, S, sp, mp)  # [n_tiles, P, CHP]
+    res = (S, starts, tiles_out, aux, mp, masks.shape)
+    return (tiles_out, aux["n_isects"]), res
+
+
+def _raster_core_bwd(cfg, res, cot):
+    S, starts, tiles_out, aux, mp, mask_shape = res
+    vt, _ = cot  # [n_tiles, P, CHP]
+    vt = vt.astype(jnp.float32)
+    CH = cfg.channels
+
+    # per-tile chunk-span slot bases
+    off = starts[:-1]
+    end = starts[1:]
+    nchunks = jnp.where(end > off, (end + K - 1) // K - off // K, 0)
+    slot_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nchunks).astype(jnp.int32)]
+    )
+    sp = _starts_padded(cfg, starts)
+    slot_pad = sp.shape[0] - slot_base.shape[0]
+    if slot_pad > 0:
+        slot_base = jnp.concatenate(
+            [slot_base, jnp.broadcast_to(slot_base[-1:], (slot_pad,))]
+        )
+
+    idrow = 6 + CH
+    gbuf_init = jnp.zeros((cfg.d_g, cfg.slot_cap * K), jnp.float32)
+    gbuf_init = gbuf_init.at[idrow].set(PAD_ID)
+
+    pad_tiles = cfg.n_steps * cfg.tiles_per_step - cfg.n_tiles
+    padt = lambda x: jnp.concatenate(
+        [x, jnp.zeros((pad_tiles,) + x.shape[1:], x.dtype)]
+    ) if pad_tiles else x
+
+    gbuf = _run_bwd(
+        cfg, S, sp, slot_base, mp, padt(tiles_out), padt(vt), gbuf_init
+    )
+    v_flat, absg = _reduce_grads(cfg, gbuf, aux)
+
+    C, N = cfg.C, cfg.n
+    v_means2d = v_flat[:, 0:2].reshape(C, N, 2)
+    v_conics = v_flat[:, 2:5].reshape(C, N, 3)
+    v_opac = v_flat[:, 5].reshape(C, N)
+    v_colors = v_flat[:, 6:6 + CH].reshape(C, N, CH)
+    return (
+        v_means2d, v_conics, v_colors, v_opac,
+        jnp.zeros((C, N), jnp.float32),  # depths (sort order is nondiff)
+        np.zeros((C, N), jax.dtypes.float0),  # radii (int)
+        np.zeros(mask_shape, jax.dtypes.float0),  # masks (int)
+    )
+
+
+_raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def rasterize_to_pixels_v2(
+    means2d: jnp.ndarray,  # [C, N, 2]
+    conics: jnp.ndarray,  # [C, N, 3]
+    colors: jnp.ndarray,  # [C, N, CH]
+    opacities: jnp.ndarray,  # [C, N]
+    depths: jnp.ndarray,  # [C, N]
+    radii: jnp.ndarray,  # [C, N] int32
+    width: int,
+    height: int,
+    tile_size: int = 16,
+    isect_capacity: int = 1 << 20,
+    backgrounds: Optional[jnp.ndarray] = None,  # [C, CH]
+    masks: Optional[jnp.ndarray] = None,  # [C, TH, TW] bool
+    tiles_per_step: int = 4,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Differentiable fused binning + tile rasterization.
+
+    Returns ([C,H,W,CH] colors, [C,H,W,1] alphas, meta). Equivalent of the
+    reference isect_tiles + isect_offset_encode + rasterize_to_pixels chain
+    (gsplat/cuda/_wrapper.py:343,417,436) in one call. Gradients flow to
+    means2d, conics, colors, opacities (+ backgrounds); deterministic.
+    """
+    C, N, _ = means2d.shape
+    CH = colors.shape[-1]
+    TW = -(-width // tile_size)
+    TH = -(-height // tile_size)
+    if interpret is None:
+        interpret = not _supports_mosaic()
+    blk = EXPAND_B * EXPAND_SB
+    cap = ((isect_capacity + blk - 1) // blk) * blk
+    cfg = V2Cfg(
+        C=C, tile_width=TW, tile_height=TH, tile_size=tile_size,
+        channels=CH, cap=cap, n=N, tiles_per_step=tiles_per_step,
+        interpret=interpret, absgrad=False,
+    )
+    if masks is not None:
+        masks_arr = masks.reshape(C * TH * TW).astype(jnp.int32)
+    else:
+        masks_arr = jnp.zeros((0,), jnp.int32)
+    (tiles_out, n_isects) = _raster_core(
+        cfg, means2d.astype(jnp.float32), conics.astype(jnp.float32),
+        colors.astype(jnp.float32), opacities.astype(jnp.float32),
+        depths.astype(jnp.float32), radii, masks_arr,
+    )
+
+    # assemble tiles -> image (XLA, differentiable)
+    ts = tile_size
+    img = tiles_out.reshape(C, TH, TW, ts, ts, cfg.chp)
+    img = img.transpose(0, 1, 3, 2, 4, 5).reshape(
+        C, TH * ts, TW * ts, cfg.chp
+    )[:, :height, :width, :]
+    colors_img = img[..., :CH]
+    alphas = img[..., CH:CH + 1]
+    if backgrounds is not None:
+        colors_img = colors_img + (1.0 - alphas) * backgrounds[:, None, None, :]
+    meta = {"n_isects": n_isects, "tile_width": TW, "tile_height": TH}
+    return colors_img, alphas, meta

@@ -37,8 +37,12 @@ def selective_adam(
     """
 
     def init_fn(params):
-        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-        return SelectiveAdamState(jnp.zeros((), jnp.int32), zeros, zeros)
+        # mu and nu must be DISTINCT buffers: the jitted train step donates
+        # optimizer state, and donating one buffer twice (aliased pytrees)
+        # is an XLA error.
+        mu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        nu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return SelectiveAdamState(jnp.zeros((), jnp.int32), mu, nu)
 
     def update_fn(updates, state, params=None, *, visibility=None):
         del params
@@ -56,9 +60,10 @@ def selective_adam(
             v = vis_mask(g)
             new_mu = jnp.where(v > 0, b1 * mu + (1 - b1) * g, mu)
             new_nu = jnp.where(v > 0, b2 * nu + (1 - b2) * g * g, nu)
-            mu_hat = new_mu / (1 - b1**count)
-            nu_hat = new_nu / (1 - b2**count)
-            step = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
+            # Raw moments, no bias correction: the reference CUDA kernel
+            # (gsplat/cuda/csrc/adam.cu:35-37) applies the update with the
+            # raw mu/nu, so we match its training dynamics exactly.
+            step = -lr * new_mu / (jnp.sqrt(new_nu) + eps)
             return jnp.where(v > 0, step, 0.0), new_mu, new_nu
 
         out = jax.tree_util.tree_map(upd, updates, state.mu, state.nu)

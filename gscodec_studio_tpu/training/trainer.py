@@ -363,8 +363,12 @@ class Runner:
             if (
                 isinstance(strat, DefaultStrategy)
                 and step % strat.reset_every == 0
-                and step < max_steps
+                and step < strat.refine_stop_iter
             ):
+                # Resets stop with densification (reference
+                # strategy/default.py:162-163 returns before the reset once
+                # step >= refine_stop_iter); resetting during final
+                # convergence would clamp opacities with no refine to recover.
                 self.splats, self.opt_states = strat.maybe_reset_opacity(
                     self.splats, self.opt_states, step
                 )

@@ -21,7 +21,7 @@ from gscodec_studio_tpu.rendering import rasterization
 G = 8
 
 
-def _scene(rng, C=G, N=256, W=32, H=32):
+def _scene(rng, C=G, N=128, W=16, H=16):
     pts = (rng.random((N, 3)).astype(np.float32) - 0.5) * 2
     rgb = rng.random((N, 3)).astype(np.float32)
     splats = create_splats(pts, rgb, cap=N, sh_degree=1, init_opacity=0.6,
@@ -57,12 +57,15 @@ def test_distributed_train_step_runs_and_descends(rng):
     txs, opt_states = build_splat_optimizers(splats)
     targets = jnp.asarray(rng.random((G, H, W, 3)).astype(np.float32))
 
+    # Two steps only: one compile + one reuse is enough to assert descent,
+    # and keeps the 8-device interpret-mode run inside the suite budget
+    # (the 5-step variant exceeded 9 minutes standalone).
     p, o = splats, opt_states
     losses = []
-    for _ in range(5):
+    for _ in range(2):
         p, o, loss = distributed_train_step(
             mesh, p, o, txs, targets, viewmats, Ks, sh_degree=1,
-            isect_capacity=8192,
+            isect_capacity=4096,
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0]
