@@ -51,13 +51,15 @@ def build_scene(rng, n_gauss, n_views, width, height, gt_scale=1.2):
     views = []
     means, quats, scales, opac = splat_activations(gt)
     colors = jnp.concatenate([gt["sh0"], gt["shN"]], axis=1)
+    # scene arrays as jit ARGUMENTS (relay re-stages captured constants)
     render = jax.jit(
-        lambda vm: rasterization(
+        lambda vm, means, quats, scales, opac, colors, Kd: rasterization(
             means, quats, scales, opac, colors, vm[None],
-            jnp.asarray(K)[None], width, height, sh_degree=1,
+            Kd[None], width, height, sh_degree=1,
             isect_capacity=1 << 21,
         )[0]
     )
+    Kd = jnp.asarray(K)
     for i in range(n_views):
         ang = 2 * np.pi * i / n_views
         c2w = np.eye(4, dtype=np.float32)
@@ -65,7 +67,8 @@ def build_scene(rng, n_gauss, n_views, width, height, gt_scale=1.2):
             [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
              [-np.sin(ang), 0, np.cos(ang)]], np.float32)
         c2w[:3, 3] = c2w[:3, :3] @ np.array([0, -0.8, -7.5], np.float32)
-        img = render(jnp.asarray(np.linalg.inv(c2w)))
+        img = render(jnp.asarray(np.linalg.inv(c2w)), means, quats,
+                     scales, opac, colors, Kd)
         views.append({
             "camtoworld": c2w, "K": K,
             "image": np.clip(np.asarray(img[0]), 0, 1),
@@ -104,7 +107,7 @@ def main():
                    help="eval on the training views (fit capacity test)")
     p.add_argument("--no_refine", action="store_true")
     p.add_argument("--sh_degree", type=int, default=1)
-    p.add_argument("--rasterizer", default="pallas")
+    p.add_argument("--rasterizer", default="fused")
     p.add_argument("--gt_scale", type=float, default=1.2)
     p.add_argument("--ssim_lambda", type=float, default=0.2)
     args = p.parse_args()

@@ -94,6 +94,14 @@ class V2Cfg(NamedTuple):
         return self.tile_size * self.tile_size
 
     @property
+    def n_tiles_v(self):
+        # +1 virtual overflow tile: ellipse-culled intersections are routed
+        # there and processed by the masked-tile light path, so the
+        # reduction's rank==id invariant (every counted intersection gets a
+        # grad row) holds without per-gaussian recounting
+        return self.n_tiles + 1
+
+    @property
     def d_s(self):
         # sorted attr rows: x, y, ca, cb, cc, op, colors[CH], id
         return _round8(7 + self.channels)
@@ -109,7 +117,7 @@ class V2Cfg(NamedTuple):
 
     @property
     def n_steps(self):
-        return -(-self.n_tiles // self.tiles_per_step)
+        return -(-self.n_tiles_v // self.tiles_per_step)
 
     @property
     def d_t(self):
@@ -121,7 +129,7 @@ class V2Cfg(NamedTuple):
     def slot_cap(self):
         # sum over tiles of chunks-spanned <= cap/K + n_tiles, rounded so
         # slot_cap*K is a multiple of the pack-kernel block
-        raw = self.cap // K + self.n_tiles + 1
+        raw = self.cap // K + self.n_tiles_v + 1
         return ((raw + 31) // 32) * 32
 
 
@@ -297,6 +305,37 @@ def _expand_kernel(cfg: V2Cfg, nattr, g0blk_ref, tot_ref, t_hbm, tile_ref,
         tile = (sel[_TR_BASE : _TR_BASE + 1, :] + dy * cfg.tile_width
                 + dx).astype(jnp.int32)
         valid = pgl < total.astype(jnp.float32)
+
+        # Conservative per-tile ellipse culling (EXACT: a dropped pair
+        # could never reach alpha >= 1/255, which the kernel would zero
+        # anyway). sigma(x) >= 0.5*lambda_min(conic)*dist(mean, tile)^2;
+        # drop when that bound already exceeds ln(255*op). The reference
+        # bins by the circumscribed AABB of the 3-sigma circle
+        # (isect_tiles.cu:49-77), keeping corner tiles the ellipse misses.
+        ts_f = float(cfg.tile_size)
+        rem = tile % (cfg.tile_width * cfg.tile_height)
+        txt = (rem % cfg.tile_width).astype(jnp.float32)
+        tyt = (rem // cfg.tile_width).astype(jnp.float32)
+        xs = sel[_TR_ATTR : _TR_ATTR + 1, :]
+        ysl = sel[_TR_ATTR + 1 : _TR_ATTR + 2, :]
+        ca = sel[_TR_ATTR + 2 : _TR_ATTR + 3, :]
+        cb = sel[_TR_ATTR + 3 : _TR_ATTR + 4, :]
+        cc = sel[_TR_ATTR + 4 : _TR_ATTR + 5, :]
+        op = sel[_TR_ATTR + 5 : _TR_ATTR + 6, :]
+        qx = jnp.clip(xs, txt * ts_f + 0.5, txt * ts_f + ts_f - 0.5)
+        qy = jnp.clip(ysl, tyt * ts_f + 0.5, tyt * ts_f + ts_f - 0.5)
+        d2 = (xs - qx) ** 2 + (ysl - qy) ** 2
+        half_tr = 0.5 * (ca + cc)
+        lam_min = jnp.maximum(
+            half_tr - jnp.sqrt((0.5 * (ca - cc)) ** 2 + cb * cb + 1e-30),
+            0.0,
+        )
+        keep = 0.5 * lam_min * d2 <= jnp.log(
+            jnp.maximum(255.0 * op, 1e-12)
+        )
+        # culled-but-in-range entries go to the virtual overflow tile
+        # (n_tiles) so they still receive zero-grad id rows in the backward
+        tile = jnp.where(keep, tile, cfg.n_tiles)
         tile_ref[0:1, pl.ds(j * B, B)] = jnp.where(valid, tile, INT32_MAX)
         # id payload (compacted index)
         out_refs[0][0:1, pl.ds(j * B, B)] = sel[_TR_CIDX : _TR_CIDX + 1, :]
@@ -418,7 +457,8 @@ def _build_sorted(cfg: V2Cfg, means2d, conics, colors, opacities, depths,
     S = pack_rows(list(so2[1:]), cfg.d_s, cfg.interpret)
 
     starts = jnp.searchsorted(
-        tile_sorted, jnp.arange(cfg.n_tiles + 1, dtype=jnp.int32), side="left"
+        tile_sorted, jnp.arange(cfg.n_tiles_v + 1, dtype=jnp.int32),
+        side="left"
     ).astype(jnp.int32)
     aux = dict(cum_i32=cum_i32, origid_s=origid_s,
                visible_s=counts_s > 0, n_isects=n_isects)
@@ -469,7 +509,12 @@ def _pixel_coords(cfg: V2Cfg, t):
 
 
 def _chunk_pair(cfg, chunk, px, py, c, off, end):
-    """Per-chunk pair math in (P, K); returns dict of (P,K)/(1,K) maps."""
+    """Per-chunk pair math in (P, K); returns dict of (P,K)/(1,K) maps.
+
+    Stays on the VPU on purpose: the quadratic form COULD be a
+    (P,8)x(8,K) feature matmul, but MXU matmuls with an 8-wide contraction
+    or output dim get padded to 128 on the systolic array (measured: the
+    matmul form made both kernels ~35% slower)."""
     xs, ys = chunk[0:1, :], chunk[1:2, :]
     ca, cb, cc = chunk[2:3, :], chunk[3:4, :], chunk[4:5, :]
     op = chunk[5:6, :]
@@ -727,8 +772,13 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
             wbufs[wslot, 2:3, :] = rsum(v_sig * 0.5 * dx * dx)
             wbufs[wslot, 3:4, :] = rsum(v_sig * dx * dy)
             wbufs[wslot, 4:5, :] = rsum(v_sig * 0.5 * dy * dy)
-            wbufs[wslot, 5:6, :] = rsum(
-                v_alpha * jnp.exp(-pr["sigma"]) * dvalid
+            # v_opacity row: alpha == op*exp(-sigma) exactly wherever
+            # dvalid=1, so sum(v_alpha*exp(-sigma)*dvalid) = -sum(v_sig)/op
+            # (saves a second exp evaluation)
+            wbufs[wslot, 5:6, :] = jnp.where(
+                pr["op"] > 0.0,
+                -rsum(v_sig) / jnp.where(pr["op"] > 0.0, pr["op"], 1.0),
+                0.0,
             )
             # v_color[ch, k] = sum_p w[p, k] * v_c[p, ch]
             wbufs[wslot, 6:6 + CH, :] = jax.lax.dot_general(
@@ -739,8 +789,14 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
                 pr["inr"], chunk[idrow:idrow + 1, :], PAD_ID
             )
             if cfg.absgrad:
-                wbufs[wslot, idrow + 1:idrow + 2, :] = jnp.abs(vx)
-                wbufs[wslot, idrow + 2:idrow + 3, :] = jnp.abs(vy)
+                # |per-PIXEL xy contribution| summed over pixels
+                # (bwd.cu:232-234 takes abs before the warp reduction)
+                wbufs[wslot, idrow + 1:idrow + 2, :] = rsum(
+                    jnp.abs(v_sig * (pr["ca"] * dx + pr["cb"] * dy))
+                )
+                wbufs[wslot, idrow + 2:idrow + 3, :] = rsum(
+                    jnp.abs(v_sig * (pr["cc"] * dy + pr["cb"] * dx))
+                )
             slot = slot0 + (c - c0)
             pltpu.make_async_copy(
                 wb, gbuf_hbm.at[:, pl.ds(slot * K, K)], wsems.at[wslot]
@@ -890,7 +946,12 @@ def _reduce_grads(cfg: V2Cfg, gbuf, aux):
 
     so = jax.lax.sort((ids,) + tuple(vals), num_keys=1, is_stable=False)
     ids_s = so[0]
-    csums = [jnp.cumsum(v) for v in so[1:]]
+    # ONE attr-major cumsum (a [R, L] axis-1 cumsum streams ~10x faster on
+    # this TPU than nine separate 1-D cumsums; pack/unpack are ~free)
+    packed = pack_rows(list(so[1:]), _round8(nval), cfg.interpret)
+    csums = unpack_rows(
+        jnp.cumsum(packed, axis=1), nval, cfg.interpret
+    )
 
     nxt = jnp.concatenate([ids_s[1:], jnp.full((1,), -1.0, jnp.float32)])
     is_end = (ids_s != nxt) & (ids_s < PAD_ID * 0.5)
@@ -923,9 +984,10 @@ def _reduce_grads(cfg: V2Cfg, gbuf, aux):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _raster_core(cfg, means2d, conics, colors, opacities, depths, radii,
-                 masks):
+                 masks, ag_probe):
     out, _ = _raster_core_fwd(
-        cfg, means2d, conics, colors, opacities, depths, radii, masks
+        cfg, means2d, conics, colors, opacities, depths, radii, masks,
+        ag_probe,
     )
     return out
 
@@ -939,9 +1001,11 @@ def _starts_padded(cfg, starts):
 
 
 def _masks_padded(cfg, masks):
+    # real tiles enabled (or user mask); the virtual overflow tile and any
+    # grid padding are always masked off (light id-row path only)
     n = cfg.n_steps * cfg.tiles_per_step
     if masks.shape[0] == 0:
-        return jnp.ones((n,), jnp.int32)
+        masks = jnp.ones((cfg.n_tiles,), jnp.int32)
     pad = n - masks.shape[0]
     if pad > 0:
         masks = jnp.concatenate([masks, jnp.zeros((pad,), jnp.int32)])
@@ -949,7 +1013,8 @@ def _masks_padded(cfg, masks):
 
 
 def _raster_core_fwd(cfg, means2d, conics, colors, opacities, depths, radii,
-                     masks):
+                     masks, ag_probe):
+    del ag_probe  # its cotangent carries absgrad out of the backward
     S, starts, aux = _build_sorted(
         cfg, means2d, conics, colors, opacities, depths, radii
     )
@@ -999,11 +1064,16 @@ def _raster_core_bwd(cfg, res, cot):
     v_conics = v_flat[:, 2:5].reshape(C, N, 3)
     v_opac = v_flat[:, 5].reshape(C, N)
     v_colors = v_flat[:, 6:6 + CH].reshape(C, N, CH)
+    v_ag = (
+        absg.reshape(C, N, 2) if absg is not None
+        else jnp.zeros((C, N, 2), jnp.float32)
+    )
     return (
         v_means2d, v_conics, v_colors, v_opac,
         jnp.zeros((C, N), jnp.float32),  # depths (sort order is nondiff)
         np.zeros((C, N), jax.dtypes.float0),  # radii (int)
         np.zeros(mask_shape, jax.dtypes.float0),  # masks (int)
+        v_ag,  # absgrad surfaced as the probe's cotangent
     )
 
 
@@ -1030,6 +1100,7 @@ def rasterize_to_pixels_v2(
     masks: Optional[jnp.ndarray] = None,  # [C, TH, TW] bool
     tiles_per_step: int = 4,
     interpret: Optional[bool] = None,
+    absgrad_probe: Optional[jnp.ndarray] = None,  # [C, N, 2] zeros
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Differentiable fused binning + tile rasterization.
 
@@ -1049,16 +1120,18 @@ def rasterize_to_pixels_v2(
     cfg = V2Cfg(
         C=C, tile_width=TW, tile_height=TH, tile_size=tile_size,
         channels=CH, cap=cap, n=N, tiles_per_step=tiles_per_step,
-        interpret=interpret, absgrad=False,
+        interpret=interpret, absgrad=absgrad_probe is not None,
     )
     if masks is not None:
         masks_arr = masks.reshape(C * TH * TW).astype(jnp.int32)
     else:
         masks_arr = jnp.zeros((0,), jnp.int32)
+    if absgrad_probe is None:
+        absgrad_probe = jnp.zeros((C, N, 2), jnp.float32)
     (tiles_out, n_isects) = _raster_core(
         cfg, means2d.astype(jnp.float32), conics.astype(jnp.float32),
         colors.astype(jnp.float32), opacities.astype(jnp.float32),
-        depths.astype(jnp.float32), radii, masks_arr,
+        depths.astype(jnp.float32), radii, masks_arr, absgrad_probe,
     )
 
     # assemble tiles -> image (XLA, differentiable)

@@ -59,8 +59,9 @@ def rasterization(
     camera_model: str = "pinhole",
     isect_capacity: Optional[int] = None,
     channel_chunk: int = 32,
-    rasterizer: str = "pallas",
+    rasterizer: str = "fused",
     means2d_probe: Optional[jnp.ndarray] = None,
+    absgrad_probe: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """Differentiable batched splat rendering (reference rendering.py:28-890).
 
@@ -142,50 +143,95 @@ def rasterization(
     else:
         backgrounds_used = backgrounds
 
-    # Tile binning.
+    # Tile binning + pixel rasterization.
     tile_width = -(-width // tile_size)
     tile_height = -(-height // tile_size)
     if isect_capacity is None:
         isect_capacity = _default_isect_capacity(C, N)
-    from gscodec_studio_tpu.ops.rasterize_pallas import SEGRED_MODE
 
-    isect = isect_tiles(
-        means2d, radii, depths, tile_size, tile_width, tile_height,
-        isect_capacity,
-        need_inv_perm=(rasterizer != "pallas" or SEGRED_MODE == "cumsum"),
-    )
-    tile_offsets = isect_offset_encode(isect.tile_keys, C, tile_width, tile_height)
-
-    # Pixel rasterization, chunked when channels exceed channel_chunk
-    # (rendering.py:528-556).
     D = colors_cn.shape[-1]
-    chunks = []
-    alphas = None
-    for lo in range(0, D, channel_chunk):
-        cols = colors_cn[..., lo : lo + channel_chunk]
-        bgs = (
-            None
-            if backgrounds_used is None
-            else backgrounds_used[..., lo : lo + channel_chunk]
+    meta_extra: Dict = {}
+    if rasterizer == "fused":
+        # Production path: fused binning + Pallas tile kernels
+        # (ops/raster_v2.py) — the isect_tiles/offset_encode stages live
+        # inside the op. Channel chunking re-runs the binning per chunk;
+        # acceptable for the rare >channel_chunk case.
+        from gscodec_studio_tpu.ops.raster_v2 import rasterize_to_pixels_v2
+
+        chunks = []
+        alphas = None
+        for lo in range(0, D, channel_chunk):
+            cols = colors_cn[..., lo : lo + channel_chunk]
+            bgs = (
+                None
+                if backgrounds_used is None
+                else backgrounds_used[..., lo : lo + channel_chunk]
+            )
+            img, alphas, vmeta = rasterize_to_pixels_v2(
+                means2d, conics, cols, opacities_cn, depths, radii,
+                width, height, tile_size=tile_size,
+                isect_capacity=isect_capacity, backgrounds=bgs,
+                absgrad_probe=absgrad_probe,
+            )
+            chunks.append(img)
+        render_colors = (
+            chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, -1)
         )
-        img, alphas = _rasterize_backend(
-            rasterizer,
-            means2d,
-            conics,
-            cols,
-            opacities_cn,
-            depths,
-            radii,
-            isect,
-            tile_offsets,
-            width,
-            height,
-            tile_size,
-            bgs,
+        render_alphas = alphas
+        meta_extra = dict(n_isects=vmeta["n_isects"])
+    else:
+        if absgrad_probe is not None:
+            raise ValueError(
+                "absgrad accumulation requires the 'fused' rasterizer"
+            )
+        from gscodec_studio_tpu.ops.rasterize_pallas import SEGRED_MODE
+
+        isect = isect_tiles(
+            means2d, radii, depths, tile_size, tile_width, tile_height,
+            isect_capacity,
+            need_inv_perm=(rasterizer != "pallas" or SEGRED_MODE == "cumsum"),
         )
-        chunks.append(img)
-    render_colors = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, -1)
-    render_alphas = alphas
+        tile_offsets = isect_offset_encode(
+            isect.tile_keys, C, tile_width, tile_height
+        )
+
+        # Chunked when channels exceed channel_chunk (rendering.py:528-556).
+        chunks = []
+        alphas = None
+        for lo in range(0, D, channel_chunk):
+            cols = colors_cn[..., lo : lo + channel_chunk]
+            bgs = (
+                None
+                if backgrounds_used is None
+                else backgrounds_used[..., lo : lo + channel_chunk]
+            )
+            img, alphas = _rasterize_backend(
+                rasterizer,
+                means2d,
+                conics,
+                cols,
+                opacities_cn,
+                depths,
+                radii,
+                isect,
+                tile_offsets,
+                width,
+                height,
+                tile_size,
+                bgs,
+            )
+            chunks.append(img)
+        render_colors = (
+            chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, -1)
+        )
+        render_alphas = alphas
+        meta_extra = dict(
+            tiles_per_gauss=isect.tiles_per_gauss,
+            tile_keys=isect.tile_keys,
+            flatten_ids=isect.flatten_ids,
+            tile_offsets=tile_offsets,
+            n_isects=isect.n_isects,
+        )
 
     if render_mode in ("ED", "RGB+ED"):
         # Normalize expected depth by alpha (rendering.py:572-580).
@@ -198,11 +244,6 @@ def rasterization(
         depths=depths,
         conics=conics,
         opacities=opacities_cn,
-        tiles_per_gauss=isect.tiles_per_gauss,
-        tile_keys=isect.tile_keys,
-        flatten_ids=isect.flatten_ids,
-        tile_offsets=tile_offsets,
-        n_isects=isect.n_isects,
         compensations=compensations,
         width=width,
         height=height,
@@ -210,6 +251,7 @@ def rasterization(
         tile_height=tile_height,
         tile_size=tile_size,
         n_cameras=C,
+        **meta_extra,
     )
     return render_colors, render_alphas, meta
 

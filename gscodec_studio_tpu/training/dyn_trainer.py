@@ -56,6 +56,8 @@ class DynConfig:
     near_plane: float = 0.01
     far_plane: float = 1e10
     temporal_visibility_mask: bool = True
+    # Rasterizer backend: "fused" (production v2), "pallas" (v1), "reference"
+    rasterizer: str = "fused"
 
 
 class DynRunner:
@@ -120,6 +122,7 @@ class DynRunner:
             opac, jax.nn.sigmoid(colors), viewmat, K[None], width, height,
             near_plane=self.cfg.near_plane, far_plane=self.cfg.far_plane,
             sh_degree=None, isect_capacity=isect_capacity,
+            rasterizer=self.cfg.rasterizer,
         )
         return img, alpha, meta
 

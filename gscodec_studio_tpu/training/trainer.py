@@ -81,8 +81,9 @@ class Config:
     # Steps fused into one device dispatch (host sync amortization)
     steps_per_dispatch: int = 25
 
-    # Rasterizer backend ("pallas" | "reference" oracle)
-    rasterizer: str = "pallas"
+    # Rasterizer backend: "fused" (production v2), "pallas" (legacy v1),
+    # "reference" (pure-jnp oracle)
+    rasterizer: str = "fused"
 
     # Compression simulation (training-time; compression_sim/)
     compression_sim: bool = False
@@ -193,7 +194,12 @@ class Runner:
             viewmat = jnp.linalg.inv(camtoworld)[None]
             key, kb, ksim = jax.random.split(key, 3)
 
-            def loss_fn(params, sim_params, probe):
+            use_absgrad = (
+                getattr(strategy, "absgrad", False)
+                and cfg.rasterizer == "fused"
+            )
+
+            def loss_fn(params, sim_params, probe, ag_probe):
                 esti_bits_total = jnp.float32(0.0)
                 aux_losses = jnp.float32(0.0)
                 if sim is not None:
@@ -220,6 +226,7 @@ class Runner:
                     ),
                     isect_capacity=isect_capacity,
                     means2d_probe=probe,
+                    absgrad_probe=ag_probe if use_absgrad else None,
                     rasterizer=cfg.rasterizer,
                 )
                 loss = combined_loss(img, target, cfg.ssim_lambda)
@@ -232,12 +239,19 @@ class Runner:
                 return loss, (img, meta)
 
             probe = jnp.zeros((1, cap, 2), jnp.float32)
+            ag_probe = jnp.zeros((1, cap, 2), jnp.float32)
             (loss, (img, meta)), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2), has_aux=True
-            )(params, sim_params, probe)
-            param_grads, sim_grads, v_means2d = grads
+                loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+            )(params, sim_params, probe, ag_probe)
+            param_grads, sim_grads, v_means2d, v_absgrad = grads
 
-            strat_state = strategy.update_state(strat_state, meta, v_means2d)
+            # With absgrad, the densification signal is the per-gaussian sum
+            # of |per-pixel xy gradient| (reference bwd.cu:232-234 /
+            # strategy flag absgrad); otherwise the signed gradient norm.
+            strat_state = strategy.update_state(
+                strat_state, meta,
+                v_absgrad if use_absgrad else v_means2d,
+            )
 
             visibility = (jnp.sum(meta["radii"] > 0, axis=0) > 0).astype(
                 jnp.float32
@@ -258,14 +272,17 @@ class Runner:
             return (params, opt_states, strat_state, (sim_params, sim_opt_state),
                     loss, meta["n_isects"])
 
-        def train_chunk(params, opt_states, strat_state, sim_bundle, batches,
-                        keys, steps, means_lrs):
+        def train_chunk(params, opt_states, strat_state, sim_bundle, data,
+                        idxs, keys, steps, means_lrs):
             """lax.scan over S fused steps — one device dispatch
-            (amortizes host-sync/dispatch latency; the TPU-idiomatic loop)."""
+            (amortizes host-sync/dispatch latency; the TPU-idiomatic loop).
+            ``data`` is the device-resident full train set; each step gathers
+            its view by index, so no image bytes cross the host link."""
 
             def body(carry, xs):
                 params, opt_states, strat_state, sim_bundle = carry
-                batch, key, step, lr = xs
+                idx, key, step, lr = xs
+                batch = jax.tree_util.tree_map(lambda a: a[idx], data)
                 params, opt_states, strat_state, sim_bundle, loss, n_is = (
                     train_step(params, opt_states, strat_state, sim_bundle,
                                batch, key, step, lr)
@@ -275,13 +292,30 @@ class Runner:
             (params, opt_states, strat_state, sim_bundle), (losses, n_isects) = (
                 jax.lax.scan(
                     body, (params, opt_states, strat_state, sim_bundle),
-                    (batches, keys, steps, means_lrs),
+                    (idxs, keys, steps, means_lrs),
                 )
             )
             return (params, opt_states, strat_state, sim_bundle, losses,
                     jnp.max(n_isects))
 
         return jax.jit(train_chunk, donate_argnums=(0, 1))
+
+    def _device_trainset(self):
+        """Upload the full train set to HBM once (relay-transfer
+        amortization: per-step image feeding over the remote link dominated
+        step time at full resolution)."""
+        if getattr(self, "_dev_data", None) is None:
+            datas = [self.trainset[i] for i in range(len(self.trainset))]
+            self._dev_data = {
+                "camtoworld": jnp.asarray(
+                    np.stack([d["camtoworld"] for d in datas])
+                ),
+                "K": jnp.asarray(np.stack([d["K"] for d in datas])),
+                "image": jnp.asarray(
+                    np.stack([d["image"] for d in datas])
+                ),
+            }
+        return self._dev_data
 
     def _isect_capacity(self) -> int:
         cap = self.splats["means"].shape[0]
@@ -317,18 +351,12 @@ class Runner:
                 to_b = interval - (step % interval)
                 S = min(S, to_b)
 
-            datas = [
-                self.trainset[int(order[(step + i) % len(order)])]
-                for i in range(S)
-            ]
-            batches = {
-                "camtoworld": jnp.asarray(
-                    np.stack([d["camtoworld"] for d in datas])
-                ),
-                "K": jnp.asarray(np.stack([d["K"] for d in datas])),
-                "image": jnp.asarray(np.stack([d["image"] for d in datas])),
-            }
-            h, w = datas[0]["image"].shape[:2]
+            data = self._device_trainset()
+            idxs = jnp.asarray(
+                [int(order[(step + i) % len(order)]) for i in range(S)],
+                jnp.int32,
+            )
+            h, w = data["image"].shape[1:3]
             sh_degree = min(step // cfg.sh_degree_interval, cfg.sh_degree)
             if self._train_step is None or self._step_shape != (h, w, sh_degree, S):
                 self._train_step = self._build_train_step(h, w, sh_degree)
@@ -343,7 +371,7 @@ class Runner:
             (self.splats, self.opt_states, self.strategy_state, sim_bundle,
              chunk_losses, chunk_max_isects) = self._train_step(
                 self.splats, self.opt_states, self.strategy_state,
-                sim_bundle, batches, keys, steps, lrs,
+                sim_bundle, data, idxs, keys, steps, lrs,
             )
             step += S
 
@@ -395,30 +423,71 @@ class Runner:
 
     # -- eval -------------------------------------------------------------
 
+    def _render_fn(self, width, height, sh_degree):
+        """Cached jitted single-view renderer. Splat arrays are jit
+        ARGUMENTS (captured constants are re-staged through the remote
+        relay on every dispatch), and one compile serves every view at a
+        given (resolution, sh_degree)."""
+        key = (width, height, sh_degree, self.cfg.rasterizer)
+        cache = getattr(self, "_render_cache", None)
+        if cache is None:
+            cache = self._render_cache = {}
+        if key not in cache:
+            isect_capacity = self._isect_capacity()
+            cfg = self.cfg
+
+            @jax.jit
+            def render(splats, viewmat, K):
+                means, quats, scales, opac = splat_activations(splats)
+                colors = jnp.concatenate(
+                    [splats["sh0"], splats["shN"]], axis=1
+                )
+                img, alpha, _ = rasterization(
+                    means, quats, scales, opac, colors, viewmat[None],
+                    K[None], width, height, sh_degree=sh_degree,
+                    isect_capacity=isect_capacity,
+                    rasterizer=cfg.rasterizer,
+                )
+                return jnp.clip(img[0], 0.0, 1.0)
+
+            cache[key] = render
+        return cache[key]
+
     def render_view(self, camtoworld, K, width, height, sh_degree=None):
-        means, quats, scales, opac = splat_activations(self.splats)
-        colors = jnp.concatenate(
-            [self.splats["sh0"], self.splats["shN"]], axis=1
-        )
-        viewmat = jnp.linalg.inv(jnp.asarray(camtoworld))[None]
-        img, alpha, _ = rasterization(
-            means, quats, scales, opac, colors, viewmat,
-            jnp.asarray(K)[None], width, height,
-            sh_degree=self.cfg.sh_degree if sh_degree is None else sh_degree,
-            isect_capacity=self._isect_capacity(),
-            rasterizer=self.cfg.rasterizer,
-        )
-        return jnp.clip(img[0], 0.0, 1.0)
+        sh = self.cfg.sh_degree if sh_degree is None else sh_degree
+        fn = self._render_fn(width, height, sh)
+        viewmat = jnp.linalg.inv(jnp.asarray(camtoworld))
+        return fn(self.splats, viewmat, jnp.asarray(K))
 
     def eval(self, stage: str = "val") -> Dict[str, float]:
+        """PSNR/SSIM over the val set. Metrics are computed on device in
+        the same dispatch as the render; only two scalars per view cross
+        the host link."""
+        key = ("eval",) + (self.cfg.rasterizer,)
+        cache = getattr(self, "_render_cache", None) or {}
+        self._render_cache = cache
+
         metrics = {"psnr": [], "ssim": []}
+        fns = {}
         for i in range(len(self.valset)):
             data = self.valset[i]
             h, w = data["image"].shape[:2]
-            img = self.render_view(data["camtoworld"], data["K"], w, h)
-            tgt = jnp.asarray(data["image"])
-            metrics["psnr"].append(float(psnr(img, tgt)))
-            metrics["ssim"].append(float(ssim(img[None], tgt[None])))
+            if (h, w) not in fns:
+                rf = self._render_fn(w, h, self.cfg.sh_degree)
+
+                @jax.jit
+                def eval_fn(splats, viewmat, K, tgt, _rf=rf):
+                    img = _rf(splats, viewmat, K)
+                    return psnr(img, tgt), ssim(img[None], tgt[None])
+
+                fns[(h, w)] = eval_fn
+            viewmat = jnp.linalg.inv(jnp.asarray(data["camtoworld"]))
+            p_, s_ = fns[(h, w)](
+                self.splats, viewmat, jnp.asarray(data["K"]),
+                jnp.asarray(data["image"]),
+            )
+            metrics["psnr"].append(float(p_))
+            metrics["ssim"].append(float(s_))
         out = {k: float(np.mean(v)) for k, v in metrics.items()}
         stats_dir = os.path.join(self.cfg.result_dir, "stats")
         os.makedirs(stats_dir, exist_ok=True)

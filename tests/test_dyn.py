@@ -95,6 +95,7 @@ def test_dyn_training_descends(rng):
     cfg = DynConfig(
         result_dir="/tmp/gsc_dyn_test", max_steps=40, mcmc_cap_max=128,
         isect_capacity=8192, steps_per_dispatch=10,
+        rasterizer="pallas",  # v1 backend: fused is covered by test_raster_v2; interpret-mode v2 is slow in-suite
     )
     runner = DynRunner(cfg, ds.points, ds.rgbs, ds, ds, scene_scale=1.0)
     object.__setattr__(runner.strategy, "refine_start_iter", 1 << 30)

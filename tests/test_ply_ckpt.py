@@ -62,6 +62,7 @@ def test_runner_checkpoint_and_compression(rng, tmp_path):
         result_dir=str(tmp_path / "run"), max_steps=20, sh_degree=0,
         sh_degree_interval=1, capacity=128, isect_capacity=8192,
         steps_per_dispatch=10,
+        rasterizer="pallas",  # v1 backend: fused is covered by test_raster_v2; interpret-mode v2 is slow in-suite
     )
     runner = Runner(cfg, parser=parser, trainset=FakeDataset(parser, "train"),
                     valset=FakeDataset(parser, "val"))

@@ -121,3 +121,82 @@ def test_v2_tile_masks(rng):
         np.broadcast_to(np.asarray(bg)[:, None, None, :], (C, 16, 16, CH)),
         atol=1e-6,
     )
+
+
+def test_v2_culling_grad_invariant(rng):
+    """Elongated splats spanning many tiles trigger the ellipse tile
+    culling; gradients must still match the oracle exactly (the culled
+    intersections are routed to the virtual overflow tile so the
+    reduction's rank==id alignment holds)."""
+    C, W, H, CH, N = 1, 96, 64, 3, 60
+    means2d = np.stack(
+        [rng.random((C, N)) * W, rng.random((C, N)) * H], axis=-1
+    ).astype(np.float32)
+    # strongly anisotropic conics: thin diagonal ellipses with big radii
+    th = rng.random((C, N)) * np.pi
+    l1 = np.full((C, N), 0.005, np.float32)   # long axis (var ~200)
+    l2 = np.full((C, N), 2.0, np.float32)     # short axis
+    ct, st = np.cos(th), np.sin(th)
+    a = l1 * ct * ct + l2 * st * st
+    c = l1 * st * st + l2 * ct * ct
+    b = (l1 - l2) * ct * st
+    conics = np.stack([a, b, c], -1).astype(np.float32)
+    colors = rng.random((C, N, CH)).astype(np.float32)
+    opacities = (0.2 + 0.7 * rng.random((C, N))).astype(np.float32)
+    depths = (0.5 + rng.random((C, N))).astype(np.float32)
+    radii = np.full((C, N), 45, np.int32)  # AABB covers most of the image
+    args = tuple(map(jnp.asarray, (means2d, conics, colors, opacities)))
+    depths, radii = jnp.asarray(depths), jnp.asarray(radii)
+    tgt = jnp.asarray(np.random.default_rng(5).random((C, H, W, CH), np.float32))
+
+    def loss_v2(means2d, conics, colors, opacities):
+        img, alp, _ = rasterize_to_pixels_v2(
+            means2d, conics, colors, opacities, depths, radii, W, H,
+            tile_size=16, isect_capacity=1 << 14,
+        )
+        return jnp.sum((img - tgt) ** 2) + 0.3 * jnp.sum(alp**2)
+
+    def loss_ref(means2d, conics, colors, opacities):
+        img, alp = rasterize_to_pixels_ref(
+            means2d, conics, colors, opacities, depths, radii, W, H, 16,
+        )
+        return jnp.sum((img - tgt) ** 2) + 0.3 * jnp.sum(alp**2)
+
+    np.testing.assert_allclose(loss_v2(*args), loss_ref(*args), rtol=1e-4)
+    gv = jax.grad(loss_v2, argnums=(0, 1, 2, 3))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    for name, a, b in zip(["means2d", "conics", "colors", "opacities"], gv, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(
+            a / scale, b / scale, rtol=0, atol=5e-3, err_msg=name
+        )
+
+
+def test_v2_absgrad(rng):
+    """absgrad = per-gaussian sum of |per-pixel xy gradient contribution|
+    (reference bwd.cu:232-234): it upper-bounds the |signed| gradient and
+    differs from it whenever per-pixel contributions cancel."""
+    C, W, H, CH, N = 1, 48, 32, 3, 120
+    means2d, conics, colors, opacities, depths, radii, bg = make_2d_scene(
+        rng, C=C, N=N, W=W, H=H, CH=CH
+    )
+    args = tuple(map(jnp.asarray, (means2d, conics, colors, opacities)))
+    depths, radii = jnp.asarray(depths), jnp.asarray(radii)
+    tgt = jnp.asarray(np.random.default_rng(3).random((C, H, W, CH), np.float32))
+
+    def loss(means2d, conics, colors, opacities, ag_probe):
+        img, alp, _ = rasterize_to_pixels_v2(
+            means2d, conics, colors, opacities, depths, radii, W, H,
+            tile_size=16, isect_capacity=8192, absgrad_probe=ag_probe,
+        )
+        return jnp.sum((img - tgt) ** 2)
+
+    ag_probe = jnp.zeros((C, N, 2), jnp.float32)
+    gm, gab = jax.grad(loss, argnums=(0, 4))(*args, ag_probe)
+    gm, gab = np.asarray(gm), np.asarray(gab)
+    assert np.all(np.isfinite(gab))
+    # upper bound property (up to float tolerance)
+    assert np.all(gab >= np.abs(gm) - 1e-5)
+    # and strictly larger somewhere (cancellation happens in real scenes)
+    assert np.any(gab > np.abs(gm) + 1e-6)

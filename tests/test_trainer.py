@@ -100,6 +100,7 @@ def test_training_improves_psnr(rng, strategy):
         mcmc_cap_max=256,
         capacity=256,
         isect_capacity=8192,
+        rasterizer="pallas",  # v1 backend: fused is covered by test_raster_v2; interpret-mode v2 is slow in-suite
     )
     runner = Runner(
         cfg,
