@@ -66,6 +66,10 @@ TRANSMITTANCE_EPS = 1e-4
 MAX_ALPHA = 0.999
 
 K = 128  # gaussians per chunk == lane width
+NBUF = 4  # chunk-DMA ring depth per tile: per-chunk pair math is ~0.5us
+# while an 8KB HBM->VMEM copy has us-scale issue latency, so double
+# buffering left both kernels DMA-latency-bound; a deeper ring keeps
+# NBUF-1 chunks in flight
 EXPAND_B = 512  # expansion sub-block (outputs per one-hot matmul)
 EXPAND_BW = EXPAND_B + 128  # candidate window (128-aligned DMA start slack)
 EXPAND_SB = 8  # sub-blocks per expansion grid step
@@ -560,31 +564,34 @@ def _fwd_kernel(cfg: V2Cfg, starts_ref, masks_ref, s_hbm, out_ref, bufs,
     G = cfg.tiles_per_step
     step = pl.program_id(0)
 
-    def dma(g, parity, c):
+    def dma(g, slot, c):
         return pltpu.make_async_copy(
             s_hbm.at[:, pl.ds(c * K, K)],
-            bufs.at[2 * g + parity],
-            sems.at[2 * g + parity],
+            bufs.at[NBUF * g + slot],
+            sems.at[NBUF * g + slot],
         )
 
-    t0 = step * G
-    # warm-up: first chunk of every tile in this step
-    for g in range(G):
-        t = t0 + g
+    def bounds(t):
         off = starts_ref[t]
         end = starts_ref[t + 1]
-
-        @pl.when((end > off) & (masks_ref[t] > 0))
-        def _():
-            dma(g, 0, off // K).start()
-
-    for g in range(G):
-        t = t0 + g
-        off = starts_ref[t]
-        end = starts_ref[t + 1]
-        enabled = masks_ref[t] > 0
         c0 = off // K
-        c1 = jnp.where((end > off) & enabled, (end + K - 1) // K, c0)
+        c1 = jnp.where(
+            (end > off) & (masks_ref[t] > 0), (end + K - 1) // K, c0
+        )
+        return off, end, c0, c1
+
+    t0 = step * G
+    # warm-up: first NBUF chunks of every tile in this step
+    for g in range(G):
+        _, _, c0, c1 = bounds(t0 + g)
+        for d in range(NBUF):
+            @pl.when(c0 + d < c1)
+            def _():
+                dma(g, d, c0 + d).start()
+
+    for g in range(G):
+        t = t0 + g
+        off, end, c0, c1 = bounds(t)
         px, py = _pixel_coords(cfg, t)
 
         def cond(carry):
@@ -593,14 +600,9 @@ def _fwd_kernel(cfg: V2Cfg, starts_ref, masks_ref, s_hbm, out_ref, bufs,
 
         def body(carry):
             c, t_cur, acc = carry
-            parity = (c - c0) % 2
-
-            @pl.when(c + 1 < c1)
-            def _():
-                dma(g, (parity + 1) % 2, c + 1).start()
-
-            dma(g, parity, c).wait()
-            chunk = bufs[2 * g + parity]  # (d_s, K)
+            slot = (c - c0) % NBUF
+            dma(g, slot, c).wait()
+            chunk = bufs[NBUF * g + slot]  # (d_s, K)
             pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
             w, m, t_prev, t_new = _composite(pr["alpha"], t_cur)
             acc = acc + jax.lax.dot_general(
@@ -608,6 +610,11 @@ def _fwd_kernel(cfg: V2Cfg, starts_ref, masks_ref, s_hbm, out_ref, bufs,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (P, CH)
+
+            @pl.when(c + NBUF < c1)
+            def _():
+                dma(g, slot, c + NBUF).start()
+
             return c + 1, t_new, acc
 
         c_fin, t_fin, acc = jax.lax.while_loop(
@@ -615,10 +622,12 @@ def _fwd_kernel(cfg: V2Cfg, starts_ref, masks_ref, s_hbm, out_ref, bufs,
             (c0, jnp.ones((P, 1), jnp.float32), jnp.zeros((P, CH), jnp.float32)),
         )
 
-        # drain the possibly in-flight prefetch
-        @pl.when(c_fin < c1)
-        def _():
-            dma(g, (c_fin - c0) % 2, c_fin).wait()
+        # drain the in-flight prefetches (early termination leaves up to
+        # NBUF outstanding)
+        for d in range(NBUF):
+            @pl.when(c_fin + d < c1)
+            def _():
+                dma(g, (c_fin + d - c0) % NBUF, c_fin + d).wait()
 
         out_ref[g, :, :CH] = acc
         out_ref[g, :, CH:CH + 1] = 1.0 - t_fin
@@ -635,8 +644,8 @@ def _run_fwd(cfg: V2Cfg, S, starts_padded, masks_padded):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * G, cfg.d_s, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((2 * G,)),
+            pltpu.VMEM((NBUF * G, cfg.d_s, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF * G,)),
         ],
     )
     out = pl.pallas_call(
@@ -664,38 +673,38 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
     step = pl.program_id(0)
     idrow = 6 + CH
 
-    def dma(g, parity, c):
+    def dma(g, slot, c):
         return pltpu.make_async_copy(
             s_hbm.at[:, pl.ds(c * K, K)],
-            bufs.at[2 * g + parity],
-            sems.at[2 * g + parity],
+            bufs.at[NBUF * g + slot],
+            sems.at[NBUF * g + slot],
         )
 
     idr0 = (idrow // 8) * 8  # sublane-aligned row block containing idrow
 
-    def dma_idrow(g, parity, c):
+    def dma_idrow(g, slot, c):
         # light path: only the 8-row block holding the id row of the chunk
         return pltpu.make_async_copy(
             s_hbm.at[idr0:idr0 + 8, pl.ds(c * K, K)],
-            bufs.at[2 * g + parity, idr0:idr0 + 8],
-            sems.at[2 * g + parity],
+            bufs.at[NBUF * g + slot, idr0:idr0 + 8],
+            sems.at[NBUF * g + slot],
         )
 
     t0 = step * G
     for g in range(G):
-        wflag[2 * g] = 0
-        wflag[2 * g + 1] = 0
+        for d in range(NBUF):
+            wflag[NBUF * g + d] = 0
         t = t0 + g
         off = starts_ref[t]
         end = starts_ref[t + 1]
-
-        @pl.when((end > off) & (masks_ref[t] > 0))
-        def _():
-            dma(g, 0, off // K).start()
-
-        @pl.when((end > off) & (masks_ref[t] == 0))
-        def _():
-            dma_idrow(g, 0, off // K).start()
+        c0 = off // K
+        c1_full = jnp.where(
+            (end > off) & (masks_ref[t] > 0), (end + K - 1) // K, c0
+        )
+        for d in range(NBUF):
+            @pl.when(c0 + d < c1_full)
+            def _():
+                dma(g, d, c0 + d).start()
 
     for g in range(G):
         t = t0 + g
@@ -728,14 +737,9 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
 
         def body(carry):
             c, t_cur, q_cur = carry
-            parity = (c - c0) % 2
-
-            @pl.when(c + 1 < c1_full)
-            def _():
-                dma(g, (parity + 1) % 2, c + 1).start()
-
-            dma(g, parity, c).wait()
-            chunk = bufs[2 * g + parity]  # (d_s, K)
+            rs = (c - c0) % NBUF
+            dma(g, rs, c).wait()
+            chunk = bufs[NBUF * g + rs]  # (d_s, K)
             pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
             alpha = pr["alpha"]
             w, m, t_prev, t_new = _composite(alpha, t_cur)
@@ -762,7 +766,7 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
             vx = rsum(v_sig * (pr["ca"] * dx + pr["cb"] * dy))
             vy = rsum(v_sig * (pr["cc"] * dy + pr["cb"] * dx))
 
-            wslot = 2 * g + parity
+            wslot = NBUF * g + rs
             wb = wbufs.at[wslot]
 
             # wait for the previous write using this buffer (if any)
@@ -803,6 +807,10 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
             ).start()
             wflag[wslot] = 1
 
+            @pl.when(c + NBUF < c1_full)
+            def _():
+                dma(g, rs, c + NBUF).start()
+
             q_new = q_cur - jnp.sum(u, axis=1, keepdims=True)
             return c + 1, t_new, q_new
 
@@ -811,10 +819,11 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
             cond, body, (start_c, jnp.ones((P, 1), jnp.float32), q0)
         )
 
-        # drain the possibly in-flight full-chunk prefetch
-        @pl.when(c_fin < c1_full)
-        def _():
-            dma(g, (c_fin - c0) % 2, c_fin).wait()
+        # drain the in-flight full-chunk prefetches
+        for d in range(NBUF):
+            @pl.when(c_fin + d < c1_full)
+            def _():
+                dma(g, (c_fin + d - c0) % NBUF, c_fin + d).wait()
 
         # Light id-row pass over the chunks never reached (early termination
         # or masked tile): the reduction's rank==id alignment requires every
@@ -822,14 +831,12 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
         # gradient rows, so skipped chunks contribute (id, zero-grad) rows.
         c_light0 = jnp.where(enabled, c_fin, c0)
 
-        @pl.when((c_light0 < c1) & jnp.logical_not(enabled))
-        def _():
-            dma_idrow(g, (c_light0 - c0) % 2, c_light0).wait()
-
-        @pl.when((c_light0 < c1) & enabled)
-        def _():
-            dma_idrow(g, (c_light0 - c0) % 2, c_light0).start()
-            dma_idrow(g, (c_light0 - c0) % 2, c_light0).wait()
+        for d in range(NBUF):
+            @pl.when(c_light0 + d < c1)
+            def _():
+                dma_idrow(
+                    g, (c_light0 + d - c0) % NBUF, c_light0 + d
+                ).start()
 
         def cond_l(carry):
             c, = carry
@@ -837,16 +844,12 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
 
         def body_l(carry):
             c, = carry
-            parity = (c - c0) % 2
-
-            @pl.when(c + 1 < c1)
-            def _():
-                dma_idrow(g, (parity + 1) % 2, c + 1).start()
-
+            rs = (c - c0) % NBUF
+            dma_idrow(g, rs, c).wait()
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + c * K
             inr = (lane >= off) & (lane < end)
-            ids = bufs[2 * g + parity, idrow:idrow + 1, :]
-            wslot = 2 * g + parity
+            ids = bufs[NBUF * g + rs, idrow:idrow + 1, :]
+            wslot = NBUF * g + rs
             wait_write(wslot)
             wbufs[wslot, 0:idrow, :] = jnp.zeros((idrow, K), jnp.float32)
             wbufs[wslot, idrow:idrow + 1, :] = jnp.where(inr, ids, PAD_ID)
@@ -861,16 +864,16 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
             ).start()
             wflag[wslot] = 1
 
-            @pl.when(c + 1 < c1)
+            @pl.when(c + NBUF < c1)
             def _():
-                dma_idrow(g, (parity + 1) % 2, c + 1).wait()
+                dma_idrow(g, rs, c + NBUF).start()
 
             return (c + 1,)
 
         jax.lax.while_loop(cond_l, body_l, (c_light0,))
 
     # drain all pending grad writes before the step ends
-    for ws in range(2 * G):
+    for ws in range(NBUF * G):
         @pl.when(wflag[ws] == 1)
         def _():
             pltpu.make_async_copy(
@@ -897,11 +900,11 @@ def _run_bwd(cfg: V2Cfg, S, starts_padded, slot_base, masks_padded, ct, vt,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2 * G, cfg.d_g, K), jnp.float32),
-            pltpu.VMEM((2 * G, cfg.d_s, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((2 * G,)),
-            pltpu.SemaphoreType.DMA((2 * G,)),
-            pltpu.SMEM((2 * G,), jnp.int32),
+            pltpu.VMEM((NBUF * G, cfg.d_g, K), jnp.float32),
+            pltpu.VMEM((NBUF * G, cfg.d_s, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF * G,)),
+            pltpu.SemaphoreType.DMA((NBUF * G,)),
+            pltpu.SMEM((NBUF * G,), jnp.int32),
         ],
     )
     return pl.pallas_call(

@@ -89,11 +89,14 @@ class Runner2DGS(Runner):
             n_vis = jnp.sum(meta["radii"] > 0)
             return params, opt_states, strat_state, sim_bundle, loss, n_vis
 
-        def train_chunk(params, opt_states, strat_state, sim_bundle, batches,
-                        keys, steps, means_lrs):
+        def train_chunk(params, opt_states, strat_state, sim_bundle, data,
+                        idxs, keys, steps, means_lrs):
+            # same device-resident-dataset convention as the base Runner:
+            # each step gathers its view from HBM by index
             def body(carry, xs):
                 p, o, s, sb = carry
-                batch, key, step, lr = xs
+                idx, key, step, lr = xs
+                batch = jax.tree_util.tree_map(lambda a: a[idx], data)
                 p, o, s, sb, loss, n_vis = train_step(
                     p, o, s, sb, batch, key, step, lr
                 )
@@ -102,7 +105,7 @@ class Runner2DGS(Runner):
             (params, opt_states, strat_state, sim_bundle), (losses, n_vis) = (
                 jax.lax.scan(
                     body, (params, opt_states, strat_state, sim_bundle),
-                    (batches, keys, steps, means_lrs),
+                    (idxs, keys, steps, means_lrs),
                 )
             )
             return (params, opt_states, strat_state, sim_bundle, losses,
