@@ -920,9 +920,46 @@ def _run_bwd(cfg: V2Cfg, S, starts_padded, slot_base, masks_padded, ct, vt,
 
 
 # ---------------------------------------------------------------------------
-# Per-Gaussian reduction: id-sort + prefix sums + end-compaction (no
-# atomics, no gathers; deterministic)
+# Per-Gaussian reduction: id-sort + single-pass Pallas prefix sums +
+# boundary gather at build-determined positions (no atomics, deterministic)
 # ---------------------------------------------------------------------------
+
+CUMSUM_BLK = 8192
+
+
+def _cumsum_rows_kernel(x_ref, o_ref, carry):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    cs = _cumsum_incl_lane(x_ref[...])  # (R, BLK)
+    o_ref[...] = cs + carry[:, 0:1]
+    carry[:, 0:1] = carry[:, 0:1] + cs[:, -1:]
+
+
+def cumsum_rows(x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """Inclusive cumsum along axis 1 of [R, L] in ONE streaming pass
+    (sequential grid + VMEM carry). XLA's multi-pass cumsum re-reads the
+    table several times at isect scale; this runs at HBM bandwidth."""
+    R, L = x.shape
+    blk = CUMSUM_BLK
+    while L % blk:
+        blk //= 2
+    return pl.pallas_call(
+        _cumsum_rows_kernel,
+        grid=(L // blk,),
+        in_specs=[
+            pl.BlockSpec((R, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (R, blk), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, L), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((R, 128), jnp.float32)],
+        interpret=interpret,
+    )(x)
 
 
 def _reduce_grads(cfg: V2Cfg, gbuf, aux):
@@ -930,11 +967,15 @@ def _reduce_grads(cfg: V2Cfg, gbuf, aux):
     both in ORIGINAL gaussian order.
 
     Every in-range intersection appears exactly once in gbuf with its
-    compacted-gaussian id (the bwd kernel light-writes skipped chunks), so
-    after sorting rows by id the runs appear in compact-id order with no id
-    absent: the r-th run belongs to compact id r. Prefix sums + the
-    rows-where-id-changes give each run's sum; a final sort by the original
-    id restores input order."""
+    compacted-gaussian id (the bwd kernel light-writes skipped chunks), and
+    the expansion enumerates intersections in compacted-id-major order, so
+    the id-sorted layout is FULLY DETERMINED by the build: rows of compact
+    id r occupy [min(cum[r-1], n_isects), min(cum[r], n_isects)). The
+    per-id sum is therefore a running-cumsum difference at positions known
+    from `aux["cum_i32"]` — no end-detection sort, and (unlike end
+    detection) correct even when `total > cap` truncates the tail: partial
+    runs reduce to partial sums instead of misaligning every later id.
+    A final sort by the original id restores input order."""
     CH = cfg.channels
     M = cfg.C * cfg.n
     idrow = 6 + CH
@@ -948,29 +989,25 @@ def _reduce_grads(cfg: V2Cfg, gbuf, aux):
     vals = cols[:idrow] + (cols[idrow + 1:] if cfg.absgrad else [])
 
     so = jax.lax.sort((ids,) + tuple(vals), num_keys=1, is_stable=False)
-    ids_s = so[0]
     # ONE attr-major cumsum (a [R, L] axis-1 cumsum streams ~10x faster on
     # this TPU than nine separate 1-D cumsums; pack/unpack are ~free)
     packed = pack_rows(list(so[1:]), _round8(nval), cfg.interpret)
-    csums = unpack_rows(
-        jnp.cumsum(packed, axis=1), nval, cfg.interpret
+    csum = cumsum_rows(packed, cfg.interpret)[:nval]  # [nval, L]
+
+    ends = jnp.minimum(aux["cum_i32"], aux["n_isects"])  # [M], int32
+    pos = jnp.maximum(ends - 1, 0)
+    F = jnp.where(
+        (ends > 0)[None, :], jnp.take(csum, pos, axis=1), 0.0
+    )  # [nval, M] running sums at each id's last present row
+    prev = jnp.concatenate(
+        [jnp.zeros((nval, 1), jnp.float32), F[:, :-1]], axis=1
     )
-
-    nxt = jnp.concatenate([ids_s[1:], jnp.full((1,), -1.0, jnp.float32)])
-    is_end = (ids_s != nxt) & (ids_s < PAD_ID * 0.5)
-    endkey = jnp.where(is_end, ids_s, jnp.inf)
-    so2 = jax.lax.sort((endkey,) + tuple(csums), num_keys=1, is_stable=False)
-    at_end = [c[:M] for c in so2[1:]]
-
-    vis = aux["visible_s"]
-    seg = []
-    for c in at_end:
-        prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), c[:-1]])
-        seg.append(jnp.where(vis, c - prev, 0.0))
+    seg = F - prev  # compact-id order (count-0 ids diff to exactly 0)
 
     # back to original order
     so3 = jax.lax.sort(
-        (aux["origid_s"],) + tuple(seg), num_keys=1, is_stable=False
+        (aux["origid_s"],) + tuple(seg[i] for i in range(nval)),
+        num_keys=1, is_stable=False,
     )
     v_flat = jnp.stack(so3[1 : 1 + 6 + CH], axis=-1)  # [M, 6+CH]
     absg = (

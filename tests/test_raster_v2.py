@@ -200,3 +200,53 @@ def test_v2_absgrad(rng):
     assert np.all(gab >= np.abs(gm) - 1e-5)
     # and strictly larger somewhere (cancellation happens in real scenes)
     assert np.any(gab > np.abs(gm) + 1e-6)
+
+
+def test_reduce_grads_layout_and_truncation(rng):
+    """_reduce_grads in isolation: per-id sums from a crafted gbuf that
+    respects the build invariant (rows of compact id r occupy
+    [min(cum[r-1], ni), min(cum[r], ni)) after the id sort), including a
+    capacity-truncated tail — the case end-detection reductions misalign."""
+    from gscodec_studio_tpu.ops import raster_v2 as rv
+
+    CH = 3
+    nval = 6 + CH
+    counts = np.array([3, 1, 4, 2, 5, 0, 0, 1], np.int32)  # compact order
+    M = counts.size
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    for ni in (total, 7):  # exact fit and a truncating capacity
+        kept = np.minimum(cum, ni) - np.minimum(
+            np.concatenate([[0], cum[:-1]]), ni
+        )
+        cfg = rv.V2Cfg(
+            C=1, tile_width=1, tile_height=1, tile_size=16, channels=CH,
+            cap=4096, n=M, tiles_per_step=1, interpret=True, absgrad=False,
+        )
+        L = cfg.slot_cap * rv.K
+        gbuf = np.zeros((cfg.d_g, L), np.float32)
+        gbuf[6 + CH] = rv.PAD_ID
+        # scatter each id's kept rows at arbitrary distinct columns
+        cols = rng.permutation(L)[: int(kept.sum())]
+        vals = rng.standard_normal((nval, int(kept.sum()))).astype(np.float32)
+        ids_for_rows = np.repeat(np.arange(M), kept)
+        gbuf[:nval, cols] = vals
+        gbuf[6 + CH, cols] = ids_for_rows.astype(np.float32)
+        # original-id mapping: compact id r came from original id perm[r]
+        perm = rng.permutation(M).astype(np.float32)
+        aux = dict(
+            cum_i32=jnp.asarray(cum, jnp.int32),
+            origid_s=jnp.asarray(perm),
+            visible_s=jnp.asarray(counts > 0),
+            n_isects=jnp.asarray(ni, jnp.int32),
+        )
+        v_flat, _ = rv._reduce_grads(cfg, jnp.asarray(gbuf), aux)
+        v_flat = np.asarray(v_flat)
+        expect = np.zeros((M, nval), np.float32)
+        for r in range(M):
+            sel = ids_for_rows == r
+            expect[r] = vals[:, sel].sum(axis=1)
+        # v_flat is in ORIGINAL order: original id perm[r] holds compact r
+        np.testing.assert_allclose(
+            v_flat[perm.astype(np.int64)], expect, rtol=1e-5, atol=1e-5
+        )
