@@ -88,6 +88,13 @@ class V2Cfg(NamedTuple):
     tiles_per_step: int
     interpret: bool
     absgrad: bool
+    # generic-geometry hooks (the 2DGS kernel shares the binning/build/
+    # reduction skeleton): number of per-gaussian attribute rows before the
+    # id row, whether the expansion may ellipse-cull (needs the 3DGS conic
+    # layout x,y,ca,cb,cc,op at rows 0-5), extra grad rows beyond n_attr+id
+    n_attr: int = 0  # 0 -> 3DGS layout (6 + channels)
+    cull: bool = True
+    extra_out: int = 0  # fwd per-pixel outputs beyond channels+alpha
 
     @property
     def n_tiles(self):
@@ -106,18 +113,27 @@ class V2Cfg(NamedTuple):
         return self.n_tiles + 1
 
     @property
+    def n_attr_eff(self):
+        # 3DGS: x, y, ca, cb, cc, op, colors[CH]
+        return self.n_attr or (6 + self.channels)
+
+    @property
     def d_s(self):
-        # sorted attr rows: x, y, ca, cb, cc, op, colors[CH], id
-        return _round8(7 + self.channels)
+        # sorted attr rows: attrs..., id
+        return _round8(self.n_attr_eff + 1)
 
     @property
     def d_g(self):
-        # grad rows: vx, vy, vca, vcb, vcc, vop, vcolors[CH], id [, absx, absy]
-        return _round8(7 + self.channels + (2 if self.absgrad else 0))
+        # grad rows: v_attrs..., id [, absx, absy]
+        return _round8(self.n_attr_eff + 1 + (2 if self.absgrad else 0))
+
+    @property
+    def idrow(self):
+        return self.n_attr_eff
 
     @property
     def chp(self):
-        return self.channels + 1
+        return self.channels + 1 + self.extra_out
 
     @property
     def n_steps(self):
@@ -125,9 +141,8 @@ class V2Cfg(NamedTuple):
 
     @property
     def d_t(self):
-        # expansion table rows: cum, cnt, base, nx, cidx, x, y, ca, cb, cc,
-        # op, colors[CH]
-        return _round8(11 + self.channels)
+        # expansion table rows: cum, cnt, base, nx, cidx, attrs...
+        return _round8(5 + self.n_attr_eff)
 
     @property
     def slot_cap(self):
@@ -310,36 +325,38 @@ def _expand_kernel(cfg: V2Cfg, nattr, g0blk_ref, tot_ref, t_hbm, tile_ref,
                 + dx).astype(jnp.int32)
         valid = pgl < total.astype(jnp.float32)
 
-        # Conservative per-tile ellipse culling (EXACT: a dropped pair
-        # could never reach alpha >= 1/255, which the kernel would zero
-        # anyway). sigma(x) >= 0.5*lambda_min(conic)*dist(mean, tile)^2;
-        # drop when that bound already exceeds ln(255*op). The reference
-        # bins by the circumscribed AABB of the 3-sigma circle
-        # (isect_tiles.cu:49-77), keeping corner tiles the ellipse misses.
-        ts_f = float(cfg.tile_size)
-        rem = tile % (cfg.tile_width * cfg.tile_height)
-        txt = (rem % cfg.tile_width).astype(jnp.float32)
-        tyt = (rem // cfg.tile_width).astype(jnp.float32)
-        xs = sel[_TR_ATTR : _TR_ATTR + 1, :]
-        ysl = sel[_TR_ATTR + 1 : _TR_ATTR + 2, :]
-        ca = sel[_TR_ATTR + 2 : _TR_ATTR + 3, :]
-        cb = sel[_TR_ATTR + 3 : _TR_ATTR + 4, :]
-        cc = sel[_TR_ATTR + 4 : _TR_ATTR + 5, :]
-        op = sel[_TR_ATTR + 5 : _TR_ATTR + 6, :]
-        qx = jnp.clip(xs, txt * ts_f + 0.5, txt * ts_f + ts_f - 0.5)
-        qy = jnp.clip(ysl, tyt * ts_f + 0.5, tyt * ts_f + ts_f - 0.5)
-        d2 = (xs - qx) ** 2 + (ysl - qy) ** 2
-        half_tr = 0.5 * (ca + cc)
-        lam_min = jnp.maximum(
-            half_tr - jnp.sqrt((0.5 * (ca - cc)) ** 2 + cb * cb + 1e-30),
-            0.0,
-        )
-        keep = 0.5 * lam_min * d2 <= jnp.log(
-            jnp.maximum(255.0 * op, 1e-12)
-        )
-        # culled-but-in-range entries go to the virtual overflow tile
-        # (n_tiles) so they still receive zero-grad id rows in the backward
-        tile = jnp.where(keep, tile, cfg.n_tiles)
+        if cfg.cull:
+            # Conservative per-tile ellipse culling (EXACT: a dropped pair
+            # could never reach alpha >= 1/255, which the kernel would zero
+            # anyway). sigma(x) >= 0.5*lambda_min(conic)*dist(mean, tile)^2;
+            # drop when that bound already exceeds ln(255*op). The reference
+            # bins by the circumscribed AABB of the 3-sigma circle
+            # (isect_tiles.cu:49-77), keeping corner tiles the ellipse
+            # misses. Requires the 3DGS attr layout (x,y,ca,cb,cc,op).
+            ts_f = float(cfg.tile_size)
+            rem = tile % (cfg.tile_width * cfg.tile_height)
+            txt = (rem % cfg.tile_width).astype(jnp.float32)
+            tyt = (rem // cfg.tile_width).astype(jnp.float32)
+            xs = sel[_TR_ATTR : _TR_ATTR + 1, :]
+            ysl = sel[_TR_ATTR + 1 : _TR_ATTR + 2, :]
+            ca = sel[_TR_ATTR + 2 : _TR_ATTR + 3, :]
+            cb = sel[_TR_ATTR + 3 : _TR_ATTR + 4, :]
+            cc = sel[_TR_ATTR + 4 : _TR_ATTR + 5, :]
+            op = sel[_TR_ATTR + 5 : _TR_ATTR + 6, :]
+            qx = jnp.clip(xs, txt * ts_f + 0.5, txt * ts_f + ts_f - 0.5)
+            qy = jnp.clip(ysl, tyt * ts_f + 0.5, tyt * ts_f + ts_f - 0.5)
+            d2 = (xs - qx) ** 2 + (ysl - qy) ** 2
+            half_tr = 0.5 * (ca + cc)
+            lam_min = jnp.maximum(
+                half_tr - jnp.sqrt((0.5 * (ca - cc)) ** 2 + cb * cb + 1e-30),
+                0.0,
+            )
+            keep = 0.5 * lam_min * d2 <= jnp.log(
+                jnp.maximum(255.0 * op, 1e-12)
+            )
+            # culled-but-in-range entries go to the virtual overflow tile
+            # (n_tiles) so they still get zero-grad id rows in the backward
+            tile = jnp.where(keep, tile, cfg.n_tiles)
         tile_ref[0:1, pl.ds(j * B, B)] = jnp.where(valid, tile, INT32_MAX)
         # id payload (compacted index)
         out_refs[0][0:1, pl.ds(j * B, B)] = sel[_TR_CIDX : _TR_CIDX + 1, :]
@@ -352,7 +369,7 @@ def _expand_kernel(cfg: V2Cfg, nattr, g0blk_ref, tot_ref, t_hbm, tile_ref,
 def _run_expand(cfg: V2Cfg, table_T, g0s, total):
     B, SB = EXPAND_B, EXPAND_SB
     cap = cfg.cap
-    nattr = 6 + cfg.channels
+    nattr = cfg.n_attr_eff
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cap // (B * SB),),
@@ -388,15 +405,33 @@ def _run_expand(cfg: V2Cfg, table_T, g0s, total):
 
 def _build_sorted(cfg: V2Cfg, means2d, conics, colors, opacities, depths,
                   radii):
+    """3DGS attr layout -> generic build."""
+    C, N = cfg.C, cfg.n
+    M = C * N
+    CH = cfg.channels
+    attr_rows = [
+        means2d.reshape(M, 2)[:, 0].astype(jnp.float32),
+        means2d.reshape(M, 2)[:, 1].astype(jnp.float32),
+        conics.reshape(M, 3)[:, 0].astype(jnp.float32),
+        conics.reshape(M, 3)[:, 1].astype(jnp.float32),
+        conics.reshape(M, 3)[:, 2].astype(jnp.float32),
+        opacities.reshape(M).astype(jnp.float32),
+    ] + [colors.reshape(M, CH)[:, i].astype(jnp.float32) for i in range(CH)]
+    return _build_sorted_generic(cfg, means2d, attr_rows, depths, radii)
+
+
+def _build_sorted_generic(cfg: V2Cfg, means2d, attr_rows, depths, radii):
     """Compaction-depth sort + Pallas expansion + stable tile sort.
 
-    Returns (S [d_s, cap] attr-major sorted rows, starts [n_tiles+1],
-    aux dict for the backward reduction)."""
+    ``attr_rows``: the cfg.n_attr_eff per-gaussian [M] f32 rows in kernel
+    layout (must start with x, y when cfg.cull). Returns (S [d_s, cap]
+    attr-major sorted rows, starts [n_tiles+1], aux dict for the backward
+    reduction)."""
     C, N = cfg.C, cfg.n
     M = C * N
     assert M < (1 << 24), "f32-exact gaussian ids require C*N < 2^24"
+    assert len(attr_rows) == cfg.n_attr_eff
     TW, TH, ts = cfg.tile_width, cfg.tile_height, cfg.tile_size
-    CH = cfg.channels
     cap = cfg.cap
 
     x0, y0, nx, counts = tile_counts(means2d, radii, ts, TW, TH)
@@ -414,15 +449,7 @@ def _build_sorted(cfg: V2Cfg, means2d, conics, colors, opacities, depths,
         counts.astype(jnp.float32),
         base,
         jnp.maximum(nx.reshape(M), 1).astype(jnp.float32),
-        means2d.reshape(M, 2)[:, 0].astype(jnp.float32),
-        means2d.reshape(M, 2)[:, 1].astype(jnp.float32),
-        conics.reshape(M, 3)[:, 0].astype(jnp.float32),
-        conics.reshape(M, 3)[:, 1].astype(jnp.float32),
-        conics.reshape(M, 3)[:, 2].astype(jnp.float32),
-        opacities.reshape(M).astype(jnp.float32),
-    ) + tuple(
-        colors.reshape(M, CH)[:, i].astype(jnp.float32) for i in range(CH)
-    ) + (origid,)
+    ) + tuple(attr_rows) + (origid,)
     so = jax.lax.sort(ops, num_keys=1, is_stable=False)
     counts_s = so[1]
     cum_i32 = jnp.cumsum(counts_s.astype(jnp.int32))
@@ -443,7 +470,7 @@ def _build_sorted(cfg: V2Cfg, means2d, conics, colors, opacities, depths,
         padv(so[2], 0.0),
         padv(so[3], 1.0),
         padv(jnp.arange(M, dtype=jnp.float32), 0.0),
-    ] + [padv(so[4 + i], 0.0) for i in range(6 + CH)]
+    ] + [padv(so[4 + i], 0.0) for i in range(cfg.n_attr_eff)]
     table_T = pack_rows(rows, cfg.d_t, cfg.interpret)
 
     g0s = jnp.searchsorted(
@@ -976,10 +1003,10 @@ def _reduce_grads(cfg: V2Cfg, gbuf, aux):
     detection) correct even when `total > cap` truncates the tail: partial
     runs reduce to partial sums instead of misaligning every later id.
     A final sort by the original id restores input order."""
-    CH = cfg.channels
     M = cfg.C * cfg.n
-    idrow = 6 + CH
-    nval = 6 + CH + (2 if cfg.absgrad else 0)
+    na = cfg.n_attr_eff
+    idrow = cfg.idrow
+    nval = na + (2 if cfg.absgrad else 0)
     L = gbuf.shape[1]
     assert L >= M, "isect capacity too small for the reduction layout"
 
@@ -1009,9 +1036,9 @@ def _reduce_grads(cfg: V2Cfg, gbuf, aux):
         (aux["origid_s"],) + tuple(seg[i] for i in range(nval)),
         num_keys=1, is_stable=False,
     )
-    v_flat = jnp.stack(so3[1 : 1 + 6 + CH], axis=-1)  # [M, 6+CH]
+    v_flat = jnp.stack(so3[1 : 1 + na], axis=-1)  # [M, n_attr_eff]
     absg = (
-        jnp.stack(so3[1 + 6 + CH : 1 + nval], axis=-1)
+        jnp.stack(so3[1 + na : 1 + nval], axis=-1)
         if cfg.absgrad else None
     )
     return v_flat, absg

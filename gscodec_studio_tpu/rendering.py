@@ -275,23 +275,31 @@ def rasterization_2dgs(
     render_mode: str = "RGB",
     distloss: bool = False,
     depth_mode: str = "expected",
+    rasterizer: str = "auto",
+    isect_capacity: Optional[int] = None,
 ):
     """2DGS (surfel) rendering — reference ``rasterization_2dgs``
     (rendering.py:1002-1321). Returns (render_colors, render_alphas,
     render_normals, surf_normals, render_distort, render_median, meta).
 
-    Backend note: currently routes through the pure-jnp oracle rasterizer
-    (O(C*N*H*W) memory) — correct and differentiable, sized for moderate
-    scenes; the Pallas 2DGS tile kernel is the planned fast path (the 3DGS
-    kernel's chunk/composite skeleton applies unchanged, with the ray-plane
-    intersection replacing the conic in _chunk_geometry).
+    Backends: ``"fused"`` = the Pallas 2DGS tile kernel sharing the 3DGS
+    binning/reduction pipeline (ops/raster_v2_2dgs.py; production path on
+    TPU), ``"reference"`` = the pure-jnp oracle (O(C*N*H*W) memory — test
+    oracle / tiny scenes), ``"auto"`` = fused on TPU, reference elsewhere
+    (the fused kernel runs interpret-mode on CPU, which is far slower than
+    the oracle at test sizes).
     """
     from gscodec_studio_tpu.ops.projection_2dgs import (
         fully_fused_projection_2dgs,
     )
+    from gscodec_studio_tpu.ops.raster_v2 import _supports_mosaic
     from gscodec_studio_tpu.ops.rasterize_ref_2dgs import (
         rasterize_to_pixels_2dgs_ref,
     )
+
+    if rasterizer == "auto":
+        rasterizer = "fused" if _supports_mosaic() else "reference"
+    assert rasterizer in ("fused", "reference"), rasterizer
 
     C = viewmats.shape[0]
     N = means.shape[0]
@@ -322,12 +330,26 @@ def rasterization_2dgs(
     # Depth channel rides along for distortion/median (2dgs_fwd.cu depth use).
     colors_cn = jnp.concatenate([colors_cn, depths[..., None]], axis=-1)
 
-    render, alphas, render_normals, render_distort, render_median = (
-        rasterize_to_pixels_2dgs_ref(
-            means2d, ray_transforms, colors_cn, opacities_cn, normals, depths,
-            radii, width, height, tile_size, backgrounds,
+    if rasterizer == "fused":
+        from gscodec_studio_tpu.ops.raster_v2_2dgs import (
+            rasterize_to_pixels_2dgs_v2,
         )
-    )
+
+        cap = isect_capacity or _default_isect_capacity(C, N)
+        render, alphas, render_normals, render_distort, render_median, _ = (
+            rasterize_to_pixels_2dgs_v2(
+                means2d, ray_transforms, colors_cn, opacities_cn, normals,
+                depths, radii, width, height, tile_size=tile_size,
+                isect_capacity=cap, backgrounds=backgrounds,
+            )
+        )
+    else:
+        render, alphas, render_normals, render_distort, render_median = (
+            rasterize_to_pixels_2dgs_ref(
+                means2d, ray_transforms, colors_cn, opacities_cn, normals,
+                depths, radii, width, height, tile_size, backgrounds,
+            )
+        )
     render_colors, accum_depth = render[..., :-1], render[..., -1:]
     if render_mode in ("ED", "RGB+ED"):
         accum_depth = accum_depth / jnp.clip(alphas, 1e-10, None)

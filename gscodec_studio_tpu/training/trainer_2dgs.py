@@ -59,6 +59,8 @@ class Runner2DGS(Runner):
                         means, quats, scales, opac, colors, viewmat,
                         batch["K"][None], width, height, sh_degree=sh_degree,
                         near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+                        rasterizer=self._rasterizer_2dgs(),
+                        isect_capacity=self._isect_capacity(),
                     )
                 )
                 render = render + 0.0 * probe.sum()
@@ -113,6 +115,11 @@ class Runner2DGS(Runner):
 
         return jax.jit(train_chunk, donate_argnums=(0, 1))
 
+    def _rasterizer_2dgs(self) -> str:
+        # base-config "fused" -> the Pallas 2DGS kernel; "pallas"/
+        # "reference" fall back to the oracle (the only other 2DGS backend)
+        return "fused" if self.cfg.rasterizer == "fused" else "reference"
+
     def render_view(self, camtoworld, K, width, height, sh_degree=None):
         means, quats, scales, opac = splat_activations(self.splats)
         colors = jnp.concatenate([self.splats["sh0"], self.splats["shN"]], 1)
@@ -121,5 +128,7 @@ class Runner2DGS(Runner):
             means, quats, scales, opac, colors, viewmat,
             jnp.asarray(K)[None], width, height,
             sh_degree=self.cfg.sh_degree if sh_degree is None else sh_degree,
+            rasterizer=self._rasterizer_2dgs(),
+            isect_capacity=self._isect_capacity(),
         )
         return jnp.clip(render[0, ..., :3], 0.0, 1.0)

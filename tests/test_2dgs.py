@@ -131,6 +131,8 @@ def test_2dgs_trainer_descends(rng):
         sh_degree_interval=1, capacity=120, isect_capacity=8192,
         steps_per_dispatch=15, normal_start_iter=5, dist_start_iter=5,
         normal_lambda=1e-3, dist_lambda=1e-4,
+        rasterizer="reference",  # oracle: interpret-mode fused is slow
+        # in-suite; the fused 2DGS kernel is covered by test_raster_v2_2dgs
     )
     runner = Runner2DGS(
         cfg, parser=parser, trainset=FakeDataset(parser, "train"),
