@@ -29,6 +29,7 @@ class Parser:
         factor: int = 1,
         normalize: bool = True,
         test_every: int = 8,
+        load_points2d: bool = False,
     ):
         self.data_dir = data_dir
         self.factor = factor
@@ -37,8 +38,8 @@ class Parser:
         sparse = os.path.join(data_dir, "sparse", "0")
         if not os.path.exists(sparse):
             sparse = os.path.join(data_dir, "sparse")
-        cams, images, (points, points_rgb, points_err) = colmap_io.read_model(
-            sparse
+        cams, images, (points, points_rgb, points_err, point_ids) = (
+            colmap_io.read_model(sparse, load_points2d=load_points2d)
         )
 
         # Sort by filename for a deterministic ordering (colmap.py:100).
@@ -97,6 +98,21 @@ class Parser:
         self.points_rgb = points_rgb
         self.points_err = points_err
 
+        # image_name -> row indices into self.points (for SfM depth
+        # supervision; reference colmap.py:175-216 point_indices)
+        self.point_indices: Dict[str, np.ndarray] = {}
+        if load_points2d:
+            id_to_row = {int(pid): i for i, pid in enumerate(point_ids)}
+            for im in ordered:
+                if im.point3d_ids is None:
+                    continue
+                rows = [
+                    id_to_row[int(pid)]
+                    for pid in im.point3d_ids
+                    if pid >= 0 and int(pid) in id_to_row
+                ]
+                self.point_indices[im.name] = np.asarray(rows, np.int64)
+
         # Scene scale: max camera distance from center * 1.1 (colmap.py:278-292).
         camera_locs = self.camtoworlds[:, :3, 3]
         scene_center = camera_locs.mean(axis=0)
@@ -143,6 +159,7 @@ class Dataset:
         self.parser = parser
         self.split = split
         self.patch_size = patch_size
+        self.load_depths = load_depths
         indices = np.arange(len(parser.image_paths))
         if split == "train":
             self.indices = indices[indices % parser.test_every != 0]
@@ -196,6 +213,26 @@ class Dataset:
             "image": image.astype(np.float32) / 255.0,
             "image_id": idx,
         }
+        if self.load_depths:
+            # project this image's SfM tracks into the (undistorted,
+            # factor-scaled) camera: pixel xy + metric depth
+            # (reference colmap.py Dataset depth branch)
+            name = p.image_names[idx]
+            rows = p.point_indices.get(name, np.empty(0, np.int64))
+            pts_world = p.points[rows]  # [M, 3]
+            w2c = np.linalg.inv(p.camtoworlds[idx])
+            cam = (pts_world @ w2c[:3, :3].T) + w2c[:3, 3]
+            depths = cam[:, 2]
+            uvw = cam @ K.T
+            xy = uvw[:, :2] / np.maximum(uvw[:, 2:3], 1e-8)
+            h, w = data["image"].shape[:2]
+            keep = (
+                (depths > 0.0)
+                & (xy[:, 0] >= 0) & (xy[:, 0] < w)
+                & (xy[:, 1] >= 0) & (xy[:, 1] < h)
+            )
+            data["points"] = xy[keep].astype(np.float32)  # [M, 2]
+            data["depths"] = depths[keep].astype(np.float32)  # [M]
         return data
 
 

@@ -46,6 +46,7 @@ class ColmapImage:
     tvec: np.ndarray
     camera_id: int
     name: str
+    point3d_ids: "np.ndarray | None" = None  # [n2d] i64, -1 = no track
 
 
 def qvec_to_rotmat(q: np.ndarray) -> np.ndarray:
@@ -75,7 +76,8 @@ def read_cameras_bin(path: str) -> Dict[int, ColmapCamera]:
     return cams
 
 
-def read_images_bin(path: str) -> Dict[int, ColmapImage]:
+def read_images_bin(path: str, load_points2d: bool = False
+                    ) -> Dict[int, ColmapImage]:
     imgs = {}
     with open(path, "rb") as f:
         (n,) = _read("<Q", f)
@@ -91,28 +93,40 @@ def read_images_bin(path: str) -> Dict[int, ColmapImage]:
                     break
                 name += c
             (n2d,) = _read("<Q", f)
-            f.seek(n2d * 24, os.SEEK_CUR)  # skip 2D points (x, y, point3D_id)
+            p3d = None
+            if load_points2d:
+                # 2D points are (x f64, y f64, point3D_id i64) records
+                rec = np.frombuffer(
+                    f.read(n2d * 24),
+                    dtype=np.dtype([("x", "<f8"), ("y", "<f8"),
+                                    ("id", "<i8")]),
+                )
+                p3d = rec["id"].astype(np.int64)
+            else:
+                f.seek(n2d * 24, os.SEEK_CUR)
             imgs[image_id] = ColmapImage(
-                image_id, qvec, tvec, camera_id, name.decode("utf-8")
+                image_id, qvec, tvec, camera_id, name.decode("utf-8"), p3d
             )
     return imgs
 
 
-def read_points3d_bin(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (xyz [N,3] f64, rgb [N,3] u8, err [N])."""
+def read_points3d_bin(path: str):
+    """Returns (xyz [N,3] f64, rgb [N,3] u8, err [N], ids [N] i64)."""
     with open(path, "rb") as f:
         (n,) = _read("<Q", f)
         xyz = np.empty((n, 3))
         rgb = np.empty((n, 3), np.uint8)
         err = np.empty(n)
+        ids = np.empty(n, np.int64)
         for i in range(n):
             data = _read("<Q3d3Bd", f)
+            ids[i] = data[0]
             xyz[i] = data[1:4]
             rgb[i] = data[4:7]
             err[i] = data[7]
             (track_len,) = _read("<Q", f)
             f.seek(track_len * 8, os.SEEK_CUR)
-    return xyz, rgb, err
+    return xyz, rgb, err, ids
 
 
 def read_cameras_txt(path: str) -> Dict[int, ColmapCamera]:
@@ -130,48 +144,63 @@ def read_cameras_txt(path: str) -> Dict[int, ColmapCamera]:
     return cams
 
 
-def read_images_txt(path: str) -> Dict[int, ColmapImage]:
+def read_images_txt(path: str, load_points2d: bool = False
+                    ) -> Dict[int, ColmapImage]:
     imgs = {}
     lines = [
         l.strip() for l in open(path) if l.strip() and not l.startswith("#")
     ]
-    for meta in lines[0::2]:
+    for meta, pts_line in zip(lines[0::2], lines[1::2]):
         parts = meta.split()
         image_id = int(parts[0])
         qvec = np.array([float(p) for p in parts[1:5]])
         tvec = np.array([float(p) for p in parts[5:8]])
+        p3d = None
+        if load_points2d:
+            trip = pts_line.split()
+            p3d = np.array(trip[2::3], np.int64) if trip else np.empty(
+                0, np.int64
+            )
         imgs[image_id] = ColmapImage(
-            image_id, qvec, tvec, int(parts[8]), parts[9]
+            image_id, qvec, tvec, int(parts[8]), parts[9], p3d
         )
     return imgs
 
 
 def read_points3d_txt(path: str):
-    xyz, rgb, err = [], [], []
+    xyz, rgb, err, ids = [], [], [], []
     for line in open(path):
         line = line.strip()
         if not line or line.startswith("#"):
             continue
         parts = line.split()
+        ids.append(int(parts[0]))
         xyz.append([float(p) for p in parts[1:4]])
         rgb.append([int(p) for p in parts[4:7]])
         err.append(float(parts[7]))
     return (
-        np.array(xyz, np.float64),
-        np.array(rgb, np.uint8),
+        np.array(xyz, np.float64).reshape(-1, 3),
+        np.array(rgb, np.uint8).reshape(-1, 3),
         np.array(err),
+        np.array(ids, np.int64),
     )
 
 
-def read_model(sparse_dir: str):
-    """Load (cameras, images, points) from a COLMAP sparse dir (bin or txt)."""
+def read_model(sparse_dir: str, load_points2d: bool = False):
+    """Load (cameras, images, (xyz, rgb, err, ids)) from a COLMAP sparse
+    dir (bin or txt). ``load_points2d`` also parses each image's 2D-point
+    tracks (point3D ids) for depth supervision."""
     if os.path.exists(os.path.join(sparse_dir, "cameras.bin")):
         cams = read_cameras_bin(os.path.join(sparse_dir, "cameras.bin"))
-        imgs = read_images_bin(os.path.join(sparse_dir, "images.bin"))
+        imgs = read_images_bin(
+            os.path.join(sparse_dir, "images.bin"), load_points2d
+        )
         pts = read_points3d_bin(os.path.join(sparse_dir, "points3D.bin"))
     elif os.path.exists(os.path.join(sparse_dir, "cameras.txt")):
         cams = read_cameras_txt(os.path.join(sparse_dir, "cameras.txt"))
-        imgs = read_images_txt(os.path.join(sparse_dir, "images.txt"))
+        imgs = read_images_txt(
+            os.path.join(sparse_dir, "images.txt"), load_points2d
+        )
         pts = read_points3d_txt(os.path.join(sparse_dir, "points3D.txt"))
     else:
         raise FileNotFoundError(f"no COLMAP model found in {sparse_dir}")

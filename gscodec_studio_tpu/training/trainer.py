@@ -73,6 +73,25 @@ class Config:
     strategy: str = "default"  # "default" | "mcmc"
     mcmc_cap_max: int = 1_000_000
 
+    # Camera pose optimization (simple_trainer.py:270-277)
+    pose_opt: bool = False
+    pose_opt_lr: float = 1e-5
+    pose_opt_reg: float = 1e-6
+    # Per-image appearance optimization (simple_trainer.py:279-285)
+    app_opt: bool = False
+    app_embed_dim: int = 16
+    app_feature_dim: int = 32
+    app_opt_lr: float = 1e-3
+    app_opt_reg: float = 1e-6
+    # Bilateral-grid color correction (simple_trainer.py use_bilateral_grid)
+    use_bilateral_grid: bool = False
+    bilagrid_shape: tuple = (8, 16, 16)
+    # SfM-point depth supervision: disparity L1 at projected track pixels
+    # (simple_trainer.py:886-967)
+    depth_loss: bool = False
+    depth_lambda: float = 1e-2
+    depth_points_cap: int = 512  # tracks per view (padded, static shape)
+
     # Misc
     eval_steps: tuple = (7_000, 30_000)
     save_steps: tuple = (7_000, 30_000)
@@ -92,6 +111,30 @@ class Config:
     shN_ada_mask_opt: bool = False
 
 
+def _sample_bilinear(img: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample ``img`` [B,H,W,1] at pixel-index coords ``pts``
+    [B,M,2] (x, y) — torch grid_sample(align_corners=True) semantics with
+    the reference's x/(W-1)*2-1 normalization (simple_trainer.py:956-966).
+    Returns [B, M]."""
+    B, H, W, _ = img.shape
+    im = img[..., 0]
+    x = jnp.clip(pts[..., 0], 0.0, W - 1.0)
+    y = jnp.clip(pts[..., 1], 0.0, H - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+    fx = x - x0
+    fy = y - y0
+    g = jax.vmap(lambda im_, yy, xx: im_[yy, xx])
+    v00 = g(im, y0, x0)
+    v01 = g(im, y0, x0 + 1)
+    v10 = g(im, y0 + 1, x0)
+    v11 = g(im, y0 + 1, x0 + 1)
+    return (
+        v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx) + v11 * fy * fx
+    )
+
+
 class Runner:
     """Owns host state; see module docstring."""
 
@@ -101,8 +144,10 @@ class Runner:
             from gscodec_studio_tpu.datasets.colmap import Parser, Dataset
 
             parser = Parser(cfg.data_dir, factor=cfg.data_factor,
-                            test_every=cfg.test_every)
-            trainset = Dataset(parser, split="train")
+                            test_every=cfg.test_every,
+                            load_points2d=cfg.depth_loss)
+            trainset = Dataset(parser, split="train",
+                               load_depths=cfg.depth_loss)
             valset = Dataset(parser, split="val")
         self.parser = parser
         self.trainset = trainset
@@ -131,6 +176,7 @@ class Runner:
         self.splats = create_splats(
             points, rgbs, cap=cap, sh_degree=cfg.sh_degree,
             init_opacity=cfg.init_opa, init_scale=cfg.init_scale,
+            feature_dim=cfg.app_feature_dim if cfg.app_opt else None,
             seed=cfg.seed,
         )
         self.txs, self.opt_states = build_splat_optimizers(
@@ -168,6 +214,59 @@ class Runner:
                 self.compression_sim.build_optimizer(self.sim_params)
             )
 
+        # Auxiliary per-image modules (pose deltas / appearance / bilateral
+        # grid), each an optax-optimized param tree carried through the scan
+        # (reference simple_trainer.py:640-681 module + optimizer setup).
+        import optax
+
+        n_train = len(self.trainset) if self.trainset is not None else 0
+        bs_scale = math.sqrt(cfg.batch_size)
+        self.aux_params: Dict = {}
+        aux_txs = {}
+        if cfg.pose_opt:
+            from gscodec_studio_tpu.utils.camera_opt import camera_opt_init
+
+            self.aux_params["pose"] = camera_opt_init(n_train)
+            aux_txs["pose"] = optax.adamw(
+                cfg.pose_opt_lr * bs_scale,
+                weight_decay=cfg.pose_opt_reg, eps=1e-15,
+            )
+        if cfg.app_opt:
+            from gscodec_studio_tpu.utils.camera_opt import (
+                appearance_opt_init,
+            )
+
+            app = appearance_opt_init(
+                jax.random.PRNGKey(cfg.seed + 2), n_train,
+                feature_dim=cfg.app_feature_dim,
+                embed_dim=cfg.app_embed_dim, sh_degree=cfg.sh_degree,
+            )
+            # zero-init the head so appearance starts as identity
+            # (simple_trainer.py:667-668)
+            app["mlp"][-1] = jax.tree_util.tree_map(
+                jnp.zeros_like, app["mlp"][-1]
+            )
+            self.aux_params["app_embeds"] = app.pop("embeds")
+            self.aux_params["app_mlp"] = app["mlp"]
+            aux_txs["app_embeds"] = optax.adamw(
+                cfg.app_opt_lr * bs_scale * 10.0,
+                weight_decay=cfg.app_opt_reg, eps=1e-15,
+            )
+            aux_txs["app_mlp"] = optax.adamw(
+                cfg.app_opt_lr * bs_scale,
+                weight_decay=cfg.app_opt_reg, eps=1e-15,
+            )
+        if cfg.use_bilateral_grid:
+            from gscodec_studio_tpu.utils.bilagrid import bilagrid_init
+
+            D, Hg, Wg = cfg.bilagrid_shape
+            self.aux_params["bilagrid"] = bilagrid_init(n_train, D, Hg, Wg)
+            aux_txs["bilagrid"] = optax.adam(2e-3, eps=1e-15)
+        self.aux_txs = aux_txs
+        self.aux_opt_states = {
+            k: aux_txs[k].init(self.aux_params[k]) for k in aux_txs
+        }
+
         self.key = jax.random.PRNGKey(cfg.seed)
         self._train_step = None
         self._step_shape = None
@@ -183,15 +282,19 @@ class Runner:
         strategy = self.strategy
         sim = self.compression_sim
 
-        def train_step(params, opt_states, strat_state, sim_bundle, batch, key,
-                       step, means_lr):
+        aux_txs = self.aux_txs
+        scene_scale = self.scene_scale
+
+        def train_step(params, opt_states, strat_state, sim_bundle,
+                       aux_bundle, batch, idx, key, step, means_lr):
             sim_params, sim_opt_state = (
                 sim_bundle if sim is not None else (None, None)
             )
-            camtoworld = batch["camtoworld"]  # [4,4]
-            K = batch["K"]
-            target = batch["image"][None]  # [1,H,W,3]
-            viewmat = jnp.linalg.inv(camtoworld)[None]
+            aux_params, aux_opt_states = aux_bundle
+            camtoworlds = batch["camtoworld"]  # [B, 4, 4]
+            Ks = batch["K"]  # [B, 3, 3]
+            target = batch["image"]  # [B, H, W, 3]
+            B = target.shape[0]
             key, kb, ksim = jax.random.split(key, 3)
 
             use_absgrad = (
@@ -199,37 +302,91 @@ class Runner:
                 and cfg.rasterizer == "fused"
             )
 
-            def loss_fn(params, sim_params, probe, ag_probe):
+            def loss_fn(params, sim_params, aux_params, probe, ag_probe):
                 esti_bits_total = jnp.float32(0.0)
                 aux_losses = jnp.float32(0.0)
                 if sim is not None:
                     params, esti_bits_total, aux_losses = sim.simulate(
                         params, sim_params, step, ksim
                     )
+                c2w = camtoworlds
+                if cfg.pose_opt:
+                    from gscodec_studio_tpu.utils.camera_opt import (
+                        camera_opt_apply,
+                    )
+
+                    c2w = camera_opt_apply(aux_params["pose"], c2w, idx)
+                viewmats = jnp.linalg.inv(c2w)
                 means, quats, scales, opac = splat_activations(params)
-                colors = jnp.concatenate(
-                    [params["sh0"], params["shN"]], axis=1
-                )
+                if cfg.app_opt:
+                    from gscodec_studio_tpu.utils.camera_opt import (
+                        appearance_opt_apply,
+                    )
+
+                    dirs = means[None, :, :] - c2w[:, None, :3, 3]
+                    colors = appearance_opt_apply(
+                        {"embeds": aux_params["app_embeds"],
+                         "mlp": aux_params["app_mlp"]},
+                        params["features"], idx, dirs, sh_degree,
+                        sh_degree_max=cfg.sh_degree,
+                    )
+                    colors = jax.nn.sigmoid(
+                        colors + params["colors"][None]
+                    )  # [B, N, 3] (simple_trainer.py:766-774)
+                    sh_for_raster = None
+                else:
+                    colors = jnp.concatenate(
+                        [params["sh0"], params["shN"]], axis=1
+                    )
+                    sh_for_raster = sh_degree
                 bkgd = (
-                    jax.random.uniform(kb, (1, 3))
+                    jax.random.uniform(kb, (B, 3))
                     if cfg.random_bkgd
                     else None
                 )
                 img, alpha, meta = rasterization(
                     means, quats, scales, opac, colors,
-                    viewmat, K[None], width, height,
+                    viewmats, Ks, width, height,
                     near_plane=cfg.near_plane, far_plane=cfg.far_plane,
-                    sh_degree=sh_degree,
+                    sh_degree=sh_for_raster,
                     backgrounds=bkgd,
                     rasterize_mode=(
                         "antialiased" if cfg.antialiased else "classic"
                     ),
+                    render_mode="RGB+ED" if cfg.depth_loss else "RGB",
                     isect_capacity=isect_capacity,
                     means2d_probe=probe,
                     absgrad_probe=ag_probe if use_absgrad else None,
                     rasterizer=cfg.rasterizer,
                 )
+                depth_map = None
+                if cfg.depth_loss:
+                    img, depth_map = img[..., :3], img[..., 3:4]
+                if cfg.use_bilateral_grid:
+                    from gscodec_studio_tpu.utils.bilagrid import (
+                        bilagrid_slice, bilagrid_tv_loss,
+                    )
+
+                    img = jax.vmap(
+                        bilagrid_slice, in_axes=(None, 0, 0)
+                    )(aux_params["bilagrid"], idx, img)
                 loss = combined_loss(img, target, cfg.ssim_lambda)
+                if cfg.depth_loss:
+                    # disparity-space L1 at projected SfM track pixels
+                    # (simple_trainer.py:954-967; zero-padded tracks are
+                    # masked out)
+                    d_at = _sample_bilinear(depth_map, batch["points"])
+                    valid = batch["depths"] > 0.0
+                    disp = jnp.where(d_at > 0.0, 1.0 / d_at, 0.0)
+                    disp_gt = jnp.where(
+                        valid, 1.0 / jnp.maximum(batch["depths"], 1e-8), 0.0
+                    )
+                    l1 = jnp.sum(
+                        jnp.abs(disp - disp_gt) * valid
+                    ) / jnp.maximum(jnp.sum(valid), 1.0)
+                    loss += cfg.depth_lambda * l1 * scene_scale
+                if cfg.use_bilateral_grid:
+                    loss += 10.0 * bilagrid_tv_loss(aux_params["bilagrid"])
                 if cfg.opacity_reg > 0:
                     loss += cfg.opacity_reg * jnp.mean(jnp.abs(opac))
                 if cfg.scale_reg > 0:
@@ -238,12 +395,25 @@ class Runner:
                     loss += cfg.rd_lambda * esti_bits_total + aux_losses
                 return loss, (img, meta)
 
-            probe = jnp.zeros((1, cap, 2), jnp.float32)
-            ag_probe = jnp.zeros((1, cap, 2), jnp.float32)
+            probe = jnp.zeros((B, cap, 2), jnp.float32)
+            ag_probe = jnp.zeros((B, cap, 2), jnp.float32)
             (loss, (img, meta)), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2, 3), has_aux=True
-            )(params, sim_params, probe, ag_probe)
-            param_grads, sim_grads, v_means2d, v_absgrad = grads
+                loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
+            )(params, sim_params, aux_params, probe, ag_probe)
+            param_grads, sim_grads, aux_grads, v_means2d, v_absgrad = grads
+
+            if aux_txs:
+                import optax
+
+                aux_params = dict(aux_params)
+                aux_opt_states = dict(aux_opt_states)
+                for k2, tx in aux_txs.items():
+                    upd, aux_opt_states[k2] = tx.update(
+                        aux_grads[k2], aux_opt_states[k2], aux_params[k2]
+                    )
+                    aux_params[k2] = optax.apply_updates(
+                        aux_params[k2], upd
+                    )
 
             # With absgrad, the densification signal is the per-gaussian sum
             # of |per-pixel xy gradient| (reference bwd.cu:232-234 /
@@ -270,33 +440,38 @@ class Runner:
             if isinstance(strategy, MCMCStrategy):
                 params = strategy.inject_noise(params, key, means_lr)
             return (params, opt_states, strat_state, (sim_params, sim_opt_state),
-                    loss, meta["n_isects"])
+                    (aux_params, aux_opt_states), loss, meta["n_isects"])
 
-        def train_chunk(params, opt_states, strat_state, sim_bundle, data,
-                        idxs, keys, steps, means_lrs):
+        def train_chunk(params, opt_states, strat_state, sim_bundle,
+                        aux_bundle, data, idxs, keys, steps, means_lrs):
             """lax.scan over S fused steps — one device dispatch
             (amortizes host-sync/dispatch latency; the TPU-idiomatic loop).
             ``data`` is the device-resident full train set; each step gathers
-            its view by index, so no image bytes cross the host link."""
+            its [B]-view camera batch by index, so no image bytes cross the
+            host link."""
 
             def body(carry, xs):
-                params, opt_states, strat_state, sim_bundle = carry
-                idx, key, step, lr = xs
+                params, opt_states, strat_state, sim_bundle, aux_bundle = carry
+                idx, key, step, lr = xs  # idx: [B]
                 batch = jax.tree_util.tree_map(lambda a: a[idx], data)
-                params, opt_states, strat_state, sim_bundle, loss, n_is = (
-                    train_step(params, opt_states, strat_state, sim_bundle,
-                               batch, key, step, lr)
+                (params, opt_states, strat_state, sim_bundle, aux_bundle,
+                 loss, n_is) = train_step(
+                    params, opt_states, strat_state, sim_bundle, aux_bundle,
+                    batch, idx, key, step, lr,
                 )
-                return (params, opt_states, strat_state, sim_bundle), (loss, n_is)
+                return (
+                    (params, opt_states, strat_state, sim_bundle, aux_bundle),
+                    (loss, n_is),
+                )
 
-            (params, opt_states, strat_state, sim_bundle), (losses, n_isects) = (
-                jax.lax.scan(
-                    body, (params, opt_states, strat_state, sim_bundle),
-                    (idxs, keys, steps, means_lrs),
-                )
+            ((params, opt_states, strat_state, sim_bundle, aux_bundle),
+             (losses, n_isects)) = jax.lax.scan(
+                body,
+                (params, opt_states, strat_state, sim_bundle, aux_bundle),
+                (idxs, keys, steps, means_lrs),
             )
-            return (params, opt_states, strat_state, sim_bundle, losses,
-                    jnp.max(n_isects))
+            return (params, opt_states, strat_state, sim_bundle, aux_bundle,
+                    losses, jnp.max(n_isects))
 
         return jax.jit(train_chunk, donate_argnums=(0, 1))
 
@@ -315,6 +490,20 @@ class Runner:
                     np.stack([d["image"] for d in datas])
                 ),
             }
+            if self.cfg.depth_loss:
+                # pad each view's SfM tracks to a static cap (zero depth =
+                # masked out in the loss)
+                capd = self.cfg.depth_points_cap
+                n = len(datas)
+                pts = np.zeros((n, capd, 2), np.float32)
+                dps = np.zeros((n, capd), np.float32)
+                for i, d in enumerate(datas):
+                    m = min(len(d.get("depths", ())), capd)
+                    if m:
+                        pts[i, :m] = d["points"][:m]
+                        dps[i, :m] = d["depths"][:m]
+                self._dev_data["points"] = jnp.asarray(pts)
+                self._dev_data["depths"] = jnp.asarray(dps)
         return self._dev_data
 
     def _isect_capacity(self) -> int:
@@ -352,10 +541,15 @@ class Runner:
                 S = min(S, to_b)
 
             data = self._device_trainset()
+            B = cfg.batch_size
             idxs = jnp.asarray(
-                [int(order[(step + i) % len(order)]) for i in range(S)],
+                [
+                    [int(order[((step + i) * B + j) % len(order)])
+                     for j in range(B)]
+                    for i in range(S)
+                ],
                 jnp.int32,
-            )
+            )  # [S, B]
             h, w = data["image"].shape[1:3]
             sh_degree = min(step // cfg.sh_degree_interval, cfg.sh_degree)
             if self._train_step is None or self._step_shape != (h, w, sh_degree, S):
@@ -368,11 +562,13 @@ class Runner:
             lrs = jnp.asarray(
                 [self._means_lr(step + i) for i in range(S)], jnp.float32
             )
+            aux_bundle = (self.aux_params, self.aux_opt_states)
             (self.splats, self.opt_states, self.strategy_state, sim_bundle,
-             chunk_losses, chunk_max_isects) = self._train_step(
+             aux_bundle, chunk_losses, chunk_max_isects) = self._train_step(
                 self.splats, self.opt_states, self.strategy_state,
-                sim_bundle, data, idxs, keys, steps, lrs,
+                sim_bundle, aux_bundle, data, idxs, keys, steps, lrs,
             )
+            self.aux_params, self.aux_opt_states = aux_bundle
             step += S
 
             # Densification / relocation schedule (host-side decisions).
@@ -436,19 +632,48 @@ class Runner:
             isect_capacity = self._isect_capacity()
             cfg = self.cfg
 
-            @jax.jit
-            def render(splats, viewmat, K):
-                means, quats, scales, opac = splat_activations(splats)
-                colors = jnp.concatenate(
-                    [splats["sh0"], splats["shN"]], axis=1
+            if cfg.app_opt:
+                from gscodec_studio_tpu.utils.camera_opt import (
+                    appearance_opt_apply,
                 )
-                img, alpha, _ = rasterization(
-                    means, quats, scales, opac, colors, viewmat[None],
-                    K[None], width, height, sh_degree=sh_degree,
-                    isect_capacity=isect_capacity,
-                    rasterizer=cfg.rasterizer,
-                )
-                return jnp.clip(img[0], 0.0, 1.0)
+
+                @jax.jit
+                def render(splats, aux, viewmat, K):
+                    means, quats, scales, opac = splat_activations(splats)
+                    # eval uses the zero (average) embedding, matching the
+                    # reference's embed_ids=None path (examples/utils.py)
+                    c2w = jnp.linalg.inv(viewmat)
+                    dirs = means[None, :, :] - c2w[None, None, :3, 3]
+                    colors = appearance_opt_apply(
+                        {"embeds": jnp.zeros((1, cfg.app_embed_dim)),
+                         "mlp": aux["app_mlp"]},
+                        splats["features"], jnp.zeros((1,), jnp.int32),
+                        dirs, sh_degree, sh_degree_max=cfg.sh_degree,
+                    )
+                    colors = jax.nn.sigmoid(colors + splats["colors"][None])
+                    img, alpha, _ = rasterization(
+                        means, quats, scales, opac, colors, viewmat[None],
+                        K[None], width, height, sh_degree=None,
+                        isect_capacity=isect_capacity,
+                        rasterizer=cfg.rasterizer,
+                    )
+                    return jnp.clip(img[0], 0.0, 1.0)
+            else:
+
+                @jax.jit
+                def render(splats, aux, viewmat, K):
+                    del aux
+                    means, quats, scales, opac = splat_activations(splats)
+                    colors = jnp.concatenate(
+                        [splats["sh0"], splats["shN"]], axis=1
+                    )
+                    img, alpha, _ = rasterization(
+                        means, quats, scales, opac, colors, viewmat[None],
+                        K[None], width, height, sh_degree=sh_degree,
+                        isect_capacity=isect_capacity,
+                        rasterizer=cfg.rasterizer,
+                    )
+                    return jnp.clip(img[0], 0.0, 1.0)
 
             cache[key] = render
         return cache[key]
@@ -457,7 +682,7 @@ class Runner:
         sh = self.cfg.sh_degree if sh_degree is None else sh_degree
         fn = self._render_fn(width, height, sh)
         viewmat = jnp.linalg.inv(jnp.asarray(camtoworld))
-        return fn(self.splats, viewmat, jnp.asarray(K))
+        return fn(self.splats, self.aux_params, viewmat, jnp.asarray(K))
 
     def eval(self, stage: str = "val") -> Dict[str, float]:
         """PSNR/SSIM over the val set. Metrics are computed on device in
@@ -476,15 +701,15 @@ class Runner:
                 rf = self._render_fn(w, h, self.cfg.sh_degree)
 
                 @jax.jit
-                def eval_fn(splats, viewmat, K, tgt, _rf=rf):
-                    img = _rf(splats, viewmat, K)
+                def eval_fn(splats, aux, viewmat, K, tgt, _rf=rf):
+                    img = _rf(splats, aux, viewmat, K)
                     return psnr(img, tgt), ssim(img[None], tgt[None])
 
                 fns[(h, w)] = eval_fn
             viewmat = jnp.linalg.inv(jnp.asarray(data["camtoworld"]))
             p_, s_ = fns[(h, w)](
-                self.splats, viewmat, jnp.asarray(data["K"]),
-                jnp.asarray(data["image"]),
+                self.splats, self.aux_params, viewmat,
+                jnp.asarray(data["K"]), jnp.asarray(data["image"]),
             )
             metrics["psnr"].append(float(p_))
             metrics["ssim"].append(float(s_))

@@ -46,8 +46,9 @@ class Runner2DGS(Runner):
 
         def train_step(params, opt_states, strat_state, sim_bundle, batch,
                        key, step, means_lr):
-            viewmat = jnp.linalg.inv(batch["camtoworld"])[None]
-            target = batch["image"][None]
+            viewmat = jnp.linalg.inv(batch["camtoworld"])  # [B, 4, 4]
+            target = batch["image"]  # [B, H, W, 3]
+            B = target.shape[0]
 
             def loss_fn(params, probe):
                 means, quats, scales, opac = splat_activations(params)
@@ -57,7 +58,7 @@ class Runner2DGS(Runner):
                 (render, alphas, render_n, surf_n, distort, median, meta) = (
                     rasterization_2dgs(
                         means, quats, scales, opac, colors, viewmat,
-                        batch["K"][None], width, height, sh_degree=sh_degree,
+                        batch["K"], width, height, sh_degree=sh_degree,
                         near_plane=cfg.near_plane, far_plane=cfg.far_plane,
                         rasterizer=self._rasterizer_2dgs(),
                         isect_capacity=self._isect_capacity(),
@@ -79,7 +80,7 @@ class Runner2DGS(Runner):
                 loss += cfg.dist_lambda * gate_d * jnp.mean(distort)
                 return loss, meta
 
-            probe = jnp.zeros((1, cap, 2), jnp.float32)
+            probe = jnp.zeros((B, cap, 2), jnp.float32)
             (loss, meta), grads = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
             )(params, probe)
@@ -91,10 +92,12 @@ class Runner2DGS(Runner):
             n_vis = jnp.sum(meta["radii"] > 0)
             return params, opt_states, strat_state, sim_bundle, loss, n_vis
 
-        def train_chunk(params, opt_states, strat_state, sim_bundle, data,
-                        idxs, keys, steps, means_lrs):
+        def train_chunk(params, opt_states, strat_state, sim_bundle,
+                        aux_bundle, data, idxs, keys, steps, means_lrs):
             # same device-resident-dataset convention as the base Runner:
-            # each step gathers its view from HBM by index
+            # each step gathers its [B]-view camera batch from HBM by index.
+            # (aux pose/appearance/bilagrid modules are not wired into the
+            # 2DGS loss yet; the bundle passes through untouched)
             def body(carry, xs):
                 p, o, s, sb = carry
                 idx, key, step, lr = xs
@@ -110,8 +113,8 @@ class Runner2DGS(Runner):
                     (idxs, keys, steps, means_lrs),
                 )
             )
-            return (params, opt_states, strat_state, sim_bundle, losses,
-                    jnp.max(n_vis))
+            return (params, opt_states, strat_state, sim_bundle, aux_bundle,
+                    losses, jnp.max(n_vis))
 
         return jax.jit(train_chunk, donate_argnums=(0, 1))
 

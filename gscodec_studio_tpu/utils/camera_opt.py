@@ -80,13 +80,28 @@ def appearance_opt_apply(
     image_ids: jnp.ndarray,  # [C]
     dirs: jnp.ndarray,  # [C, N, 3]
     sh_degree: int,
+    sh_degree_max: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Returns per-(camera, gaussian) colors [C, N, 3] (utils.py:82-116)."""
-    from gscodec_studio_tpu.ops.sh import sh_basis
+    """Returns per-(camera, gaussian) colors [C, N, 3] (utils.py:82-116).
+
+    The MLP input width is fixed at ``sh_degree_max``; when training warms
+    up the active ``sh_degree``, the unused higher bases are zero
+    (utils.py:105-109)."""
+    from gscodec_studio_tpu.ops.sh import num_sh_bases, sh_basis
 
     C, N = dirs.shape[:2]
     embeds = params["embeds"][image_ids]  # [C, e]
-    basis = sh_basis(sh_degree, dirs)  # [C, N, K]
+    dirs = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+    )
+    basis = sh_basis(sh_degree, dirs)  # [C, N, K_use]
+    if sh_degree_max is not None and sh_degree_max != sh_degree:
+        K_full = num_sh_bases(sh_degree_max)
+        basis = jnp.concatenate(
+            [basis,
+             jnp.zeros((C, N, K_full - basis.shape[-1]), basis.dtype)],
+            axis=-1,
+        )
     h = jnp.concatenate(
         [
             jnp.broadcast_to(embeds[:, None, :], (C, N, embeds.shape[-1])),

@@ -1,0 +1,70 @@
+"""Trainer feature set: camera batching, pose/appearance/bilateral-grid
+optimization, SfM depth supervision (reference simple_trainer.py:270-307,
+640-681, 886-967)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gscodec_studio_tpu.training.trainer import (
+    Config, Runner, _sample_bilinear,
+)
+from tests.test_trainer import FakeParser, FakeDataset
+
+
+def test_sample_bilinear_matches_manual(rng):
+    img = jnp.asarray(rng.random((2, 8, 10, 1)).astype(np.float32))
+    pts = jnp.asarray(
+        np.stack(
+            [rng.uniform(0, 9, (2, 5)), rng.uniform(0, 7, (2, 5))], axis=-1
+        ).astype(np.float32)
+    )
+    out = np.asarray(_sample_bilinear(img, pts))
+    im = np.asarray(img)[..., 0]
+    for b in range(2):
+        for m in range(5):
+            x, y = np.asarray(pts)[b, m]
+            x0, y0 = int(np.floor(x)), int(np.floor(y))
+            x0, y0 = min(x0, 8), min(y0, 6)
+            fx, fy = x - x0, y - y0
+            v = (
+                im[b, y0, x0] * (1 - fy) * (1 - fx)
+                + im[b, y0, x0 + 1] * (1 - fy) * fx
+                + im[b, y0 + 1, x0] * fy * (1 - fx)
+                + im[b, y0 + 1, x0 + 1] * fy * fx
+            )
+            np.testing.assert_allclose(out[b, m], v, rtol=1e-5)
+
+
+def test_batched_aux_features_train(rng):
+    """batch_size=2 + pose/app/bilagrid/depth all enabled: the step runs,
+    losses stay finite, and every aux param group receives updates."""
+    parser = FakeParser(rng, n_views=5, width=40, height=32, n_gt=60)
+    cfg = Config(
+        result_dir="/tmp/gsc_feat_test", max_steps=30, sh_degree=1,
+        sh_degree_interval=1, capacity=90, isect_capacity=8192,
+        steps_per_dispatch=10, batch_size=2,
+        pose_opt=True, app_opt=True, use_bilateral_grid=True,
+        depth_loss=True, depth_points_cap=16,
+        rasterizer="pallas",
+    )
+    runner = Runner(
+        cfg, parser=parser, trainset=FakeDataset(parser, "train"),
+        valset=FakeDataset(parser, "val"),
+    )
+    object.__setattr__(runner.strategy, "refine_start_iter", 1 << 30)
+    assert "features" in runner.splats and "colors" in runner.splats
+    pose0 = np.asarray(runner.aux_params["pose"]).copy()
+    emb0 = np.asarray(runner.aux_params["app_embeds"]).copy()
+    bg0 = np.asarray(runner.aux_params["bilagrid"]).copy()
+
+    losses = runner.train(log_every=0)
+    assert np.all(np.isfinite(losses))
+    assert not np.allclose(np.asarray(runner.aux_params["pose"]), pose0)
+    assert not np.allclose(np.asarray(runner.aux_params["app_embeds"]), emb0)
+    assert not np.allclose(np.asarray(runner.aux_params["bilagrid"]), bg0)
+
+    # eval renders through the appearance path (zero embedding)
+    m = runner.eval("feat_test")
+    assert np.isfinite(m["psnr"])
