@@ -62,12 +62,24 @@ class CompressionSimulation:
     # gaussian_model subsamples ~5% of in-bbox points per step for speed
     # (simulation.py:185-219); static count here for jit.
     gaussian_sample: int = 16_384
+    # Attribute tables (overridden by the STG variant)
+    sim_option: Dict = dataclasses.field(
+        default_factory=lambda: dict(SIM_OPTION))
+    q_bitwidth: Dict = dataclasses.field(
+        default_factory=lambda: dict(Q_BITWIDTH))
+    bounds: Dict = dataclasses.field(default_factory=lambda: dict(BOUNDS))
+    entropy_option: Dict = dataclasses.field(
+        default_factory=lambda: dict(ENTROPY_OPTION))
+    entropy_steps: Dict = dataclasses.field(
+        default_factory=lambda: dict(ENTROPY_STEPS))
+    entropy_channels: Dict = dataclasses.field(
+        default_factory=lambda: {"scales": 3, "quats": 4, "sh0": 3})
 
     def init_params(self, key: jax.Array) -> Dict:
         """Learnable simulation parameters (to be optimized by the trainer)."""
         out = {}
         if self.entropy_model_opt:
-            ch = {"scales": 3, "quats": 4, "sh0": 3}
+            ch = self.entropy_channels
             if self.entropy_model_type == "gaussian_model":
                 from gscodec_studio_tpu.compression_sim.hash_grid import (
                     gaussian_conditional_init,
@@ -115,19 +127,20 @@ class CompressionSimulation:
         sim_params = sim_params or {}
 
         for name in splats:
-            if not SIM_OPTION.get(name, False):
+            if not self.sim_option.get(name, False):
                 continue
-            lo, hi = BOUNDS[name]
+            lo, hi = self.bounds[name]
             x = splats[name]
             shp = x.shape
             key, k = jax.random.split(key)
             xq, q_step = fake_quantize_ste(
-                x.reshape(shp[0], -1), lo, hi, Q_BITWIDTH[name], self.q_type, k
+                x.reshape(shp[0], -1), lo, hi, self.q_bitwidth[name],
+                self.q_type, k
             )
             new[name] = xq.reshape(shp)
             if (
                 self.entropy_model_opt
-                and ENTROPY_OPTION.get(name, False)
+                and self.entropy_option.get(name, False)
                 and name in sim_params.get("entropy", {})
             ):
                 if self.entropy_model_type == "gaussian_model":
@@ -160,7 +173,7 @@ class CompressionSimulation:
                         q_step,
                     )
                 # bpp-style mean, gated on the per-attribute start step
-                gate = (step > ENTROPY_STEPS[name]).astype(jnp.float32)
+                gate = (step > self.entropy_steps[name]).astype(jnp.float32)
                 total_bits = total_bits + gate * jnp.mean(bits)
 
         if self.shN_ada_mask_opt and "ada_mask" in sim_params:
@@ -177,3 +190,52 @@ class CompressionSimulation:
                 annealing_start_iter=self.ada_mask_start,
             )
         return new, total_bits, aux
+
+
+# STG (dynamic splat) tables — reference STGCompressionSimulation
+# (simulation.py:508-780): quantizes scales/quats/opacities and the
+# color/dir/time feature triplet; temporal params (trbf/motion/omega) stay
+# unquantized. Entropy terms activate at step 7000
+# (simple_trainer_dyngs.py:158-168 defaults).
+STG_SIM_OPTION = {
+    "means": False, "scales": True, "quats": True, "opacities": True,
+    "trbf_center": False, "trbf_scale": False, "motion": False,
+    "omega": False, "colors": True, "features_dir": True,
+    "features_time": True,
+}
+STG_Q_BITWIDTH = {
+    "scales": 8, "quats": 8, "opacities": 8, "colors": 8,
+    "features_dir": 8, "features_time": 8,
+}
+STG_BOUNDS = {
+    "scales": (-10.0, 2.0),
+    "quats": (-1.0, 1.0),
+    "opacities": (-7.0, 7.0),
+    "colors": (-7.5, 7.5),
+    "features_dir": (-10.0, 10.0),
+    "features_time": (-10.0, 10.0),
+}
+STG_ENTROPY_OPTION = {
+    "scales": True, "quats": True, "opacities": False, "colors": True,
+    "features_dir": True, "features_time": True,
+}
+STG_ENTROPY_STEPS = {
+    "scales": 7_000, "quats": 7_000, "colors": 7_000,
+    "features_dir": 7_000, "features_time": 7_000,
+}
+STG_ENTROPY_CHANNELS = {
+    "scales": 3, "quats": 4, "colors": 3, "features_dir": 3,
+    "features_time": 3,
+}
+
+
+def STGCompressionSimulation(**kw) -> CompressionSimulation:
+    """Factory mirroring the reference STGCompressionSimulation: the same
+    simulation machinery with the STG attribute tables."""
+    kw.setdefault("sim_option", dict(STG_SIM_OPTION))
+    kw.setdefault("q_bitwidth", dict(STG_Q_BITWIDTH))
+    kw.setdefault("bounds", dict(STG_BOUNDS))
+    kw.setdefault("entropy_option", dict(STG_ENTROPY_OPTION))
+    kw.setdefault("entropy_steps", dict(STG_ENTROPY_STEPS))
+    kw.setdefault("entropy_channels", dict(STG_ENTROPY_CHANNELS))
+    return CompressionSimulation(**kw)

@@ -115,6 +115,67 @@ def dyn_colors(
     )
 
 
+def dyn_features(
+    splats: Dict[str, jnp.ndarray], dt: jnp.ndarray
+) -> jnp.ndarray:
+    """9-channel per-splat feature vector for the CNN color decoder
+    (STG path: colors_precomp = cat(color, dir, dt * time),
+    simple_trainer_STG.py:531). ``dt`` = t - trbf_center [cap]."""
+    return jnp.concatenate(
+        [
+            splats["colors"],
+            splats["features_dir"],
+            jax.lax.stop_gradient(dt)[:, None] * splats["features_time"],
+        ],
+        axis=-1,
+    )
+
+
+def sandwich_init(key: jax.Array) -> Dict[str, jnp.ndarray]:
+    """'Sandwich' rgb decoder (helper/STG/helper_model.py Sandwich):
+    two 1x1 convs (12 -> 6 -> 3, no bias) on the specular branch."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "w1": jax.random.normal(k1, (12, 6)) * (2.0 / 12.0) ** 0.5,
+        "w2": jax.random.normal(k2, (6, 3)) * (2.0 / 6.0) ** 0.5,
+    }
+
+
+def sandwich_apply(
+    params: Dict[str, jnp.ndarray],
+    feat: jnp.ndarray,  # [C, H, W, 9] rendered feature map
+    rays: jnp.ndarray,  # [C, H, W, 6] per-pixel (origin, dir)
+) -> jnp.ndarray:
+    """result = sigmoid(albedo + mlp2(relu(mlp1(cat(spec, time, rays)))))
+    — 1x1 convs are per-pixel matmuls (channel-last einsum on the MXU)."""
+    albedo, spec, timef = feat[..., 0:3], feat[..., 3:6], feat[..., 6:9]
+    h = jnp.concatenate([spec, timef, rays], axis=-1)  # [C, H, W, 12]
+    h = jax.nn.relu(jnp.einsum("chwi,ij->chwj", h, params["w1"]))
+    h = jnp.einsum("chwi,ij->chwj", h, params["w2"])
+    return jax.nn.sigmoid(albedo + h)
+
+
+def get_rays(
+    camtoworld: jnp.ndarray,  # [4, 4]
+    K: jnp.ndarray,  # [3, 3]
+    width: int,
+    height: int,
+) -> jnp.ndarray:
+    """Per-pixel (origin, normalized direction) [H, W, 6] in world space
+    (simple_trainer_STG.py get_rays :959-1005)."""
+    x = (jnp.arange(width, dtype=jnp.float32) + 0.5 - K[0, 2]) / K[0, 0]
+    y = (jnp.arange(height, dtype=jnp.float32) + 0.5 - K[1, 2]) / K[1, 1]
+    xx = jnp.broadcast_to(x[None, :], (height, width))
+    yy = jnp.broadcast_to(y[:, None], (height, width))
+    d_cam = jnp.stack([xx, yy, jnp.ones_like(xx)], axis=-1)  # [H, W, 3]
+    d_world = jnp.einsum("ij,hwj->hwi", camtoworld[:3, :3], d_cam)
+    d_world = d_world / jnp.maximum(
+        jnp.linalg.norm(d_world, axis=-1, keepdims=True), 1e-12
+    )
+    o = jnp.broadcast_to(camtoworld[:3, 3], (height, width, 3))
+    return jnp.concatenate([o, d_world], axis=-1)
+
+
 def extract_frame(splats: Dict[str, jnp.ndarray], t: float,
                   visibility_eps: float = 0.05) -> Dict[str, np.ndarray]:
     """Per-frame static splats for the sequence codec (dyngs:1158-1271):

@@ -18,12 +18,17 @@ from typing import Dict, Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+import optax
 
 from gscodec_studio_tpu.models.splats import PARAM_LRS
 from gscodec_studio_tpu.models.temporal import (
     create_dyn_splats,
     slice_at_time,
     dyn_colors,
+    dyn_features,
+    get_rays,
+    sandwich_apply,
+    sandwich_init,
 )
 from gscodec_studio_tpu.optimizers import build_splat_optimizers
 from gscodec_studio_tpu.optimizers.builders import apply_updates
@@ -58,6 +63,17 @@ class DynConfig:
     temporal_visibility_mask: bool = True
     # Rasterizer backend: "fused" (production v2), "pallas" (v1), "reference"
     rasterizer: str = "fused"
+    # Color head: "rgb" = per-splat color only (dyngs active path),
+    # "linear" = + dir/time linear combine, "sandwich" = 9-ch feature
+    # render + CNN decoder with per-pixel rays (simple_trainer_STG.py:531,
+    # :580; helper_model.py Sandwich)
+    color_mode: str = "linear"
+    decoder_lr: float = 1e-4  # STG decoder_params lr (:242)
+    # Training-time compression simulation (STG tables,
+    # compression_sim/simulation.py STGCompressionSimulation)
+    compression_sim: bool = False
+    entropy_model_opt: bool = False
+    rd_lambda: float = 1e-2  # dyngs:156
 
 
 class DynRunner:
@@ -102,28 +118,69 @@ class DynRunner:
             )
         else:
             self.strategy_state = self.strategy.initialize_state(cap, scene_scale)
+
+        # CNN color decoder (separate from the per-splat tree: strategy ops
+        # scatter rows over splat leaves; the reference likewise skips
+        # "decoder" keys in its optimizer surgery, strategy/ops.py:69-73)
+        self.decoder_params = None
+        self.decoder_tx = None
+        self.decoder_opt_state = None
+        if cfg.color_mode == "sandwich":
+            self.decoder_params = sandwich_init(
+                jax.random.PRNGKey(cfg.seed + 3)
+            )
+            self.decoder_tx = optax.adam(cfg.decoder_lr, eps=1e-15)
+            self.decoder_opt_state = self.decoder_tx.init(self.decoder_params)
+
+        self.compression_sim = None
+        if cfg.compression_sim:
+            from gscodec_studio_tpu.compression_sim.simulation import (
+                STGCompressionSimulation,
+            )
+
+            self.compression_sim = STGCompressionSimulation(
+                entropy_model_opt=cfg.entropy_model_opt,
+                cap=cap, max_steps=cfg.max_steps,
+            )
+            self.sim_params = self.compression_sim.init_params(
+                jax.random.PRNGKey(cfg.seed + 1)
+            )
+            self.sim_tx, self.sim_opt_state = (
+                self.compression_sim.build_optimizer(self.sim_params)
+            )
         self.key = jax.random.PRNGKey(cfg.seed)
         self._train_step = None
         self._step_shape = None
         self._refine = jax.jit(self.strategy.refine)
         os.makedirs(cfg.result_dir, exist_ok=True)
 
-    def _render(self, params, camtoworld, K, t, width, height, isect_capacity):
+    def _render(self, params, camtoworld, K, t, width, height,
+                isect_capacity, dec_params=None):
         sliced, tw = slice_at_time(params, t)
         viewmat = jnp.linalg.inv(camtoworld)[None]
         campos = camtoworld[:3, 3]
-        dirs = sliced["means"] - campos[None, :]
-        colors = dyn_colors(params, dirs, tw)  # [cap, 3]
+        mode = self.cfg.color_mode
+        if mode == "sandwich":
+            dt = t - params["trbf_center"]
+            colors = dyn_features(params, dt)  # [cap, 9] raw features
+        elif mode == "rgb":
+            colors = jax.nn.sigmoid(params["colors"])
+        else:  # linear dir/time combine
+            dirs = sliced["means"] - campos[None, :]
+            colors = jax.nn.sigmoid(dyn_colors(params, dirs, tw))
         opac = jax.nn.sigmoid(sliced["opacities"]) * tw
         if self.cfg.temporal_visibility_mask:
             opac = jnp.where(tw > 0.05, opac, 0.0)
         img, alpha, meta = rasterization(
             sliced["means"], sliced["quats"], jnp.exp(sliced["scales"]),
-            opac, jax.nn.sigmoid(colors), viewmat, K[None], width, height,
+            opac, colors, viewmat, K[None], width, height,
             near_plane=self.cfg.near_plane, far_plane=self.cfg.far_plane,
             sh_degree=None, isect_capacity=isect_capacity,
             rasterizer=self.cfg.rasterizer,
         )
+        if mode == "sandwich":
+            rays = get_rays(camtoworld, K, width, height)[None]
+            img = sandwich_apply(dec_params, img, rays)
         return img, alpha, meta
 
     def _build_train_step(self, height, width):
@@ -132,38 +189,79 @@ class DynRunner:
         isect_capacity = cfg.isect_capacity or max(cap * 4, 1 << 19)
         strategy = self.strategy
 
-        def one_step(params, opt_states, strat_state, batch, key, step, lr):
-            def loss_fn(params):
+        use_dec = cfg.color_mode == "sandwich"
+        sim = self.compression_sim
+
+        def one_step(params, opt_states, strat_state, dec_bundle, sim_bundle,
+                     batch, key, step, lr):
+            dec_params, dec_opt = dec_bundle
+            sim_params, sim_opt = sim_bundle
+            key, ksim = jax.random.split(key)
+
+            def loss_fn(params, dec_params, sim_params):
+                bits = jnp.float32(0.0)
+                if sim is not None:
+                    params, bits, _ = sim.simulate(
+                        params, sim_params, step, ksim
+                    )
                 img, alpha, meta = self._render(
                     params, batch["camtoworld"], batch["K"],
                     batch["timestamp"], width, height, isect_capacity,
+                    dec_params,
                 )
-                return combined_loss(
+                loss = combined_loss(
                     img, batch["image"][None], cfg.ssim_lambda
-                ), meta
+                )
+                loss = loss + cfg.rd_lambda * bits
+                return loss, meta
 
-            (loss, meta), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params)
+            argnums = (0,) + ((1,) if use_dec else ()) + (
+                (2,) if sim is not None else ()
+            )
+            (loss, meta), glist = jax.value_and_grad(
+                loss_fn, argnums=argnums, has_aux=True
+            )(params, dec_params, sim_params)
+            gmap = dict(zip(argnums, glist))
+            grads = gmap[0]
+            dec_grads = gmap.get(1)
+            sim_grads = gmap.get(2)
             params, opt_states = apply_updates(
                 self.txs, opt_states, params, grads
             )
+            if use_dec:
+                upd, dec_opt = self.decoder_tx.update(
+                    dec_grads, dec_opt, dec_params
+                )
+                dec_params = optax.apply_updates(dec_params, upd)
+            if sim is not None:
+                upd, sim_opt = self.sim_tx.update(
+                    sim_grads, sim_opt, sim_params
+                )
+                sim_params = optax.apply_updates(sim_params, upd)
             if isinstance(strategy, MCMCStrategy):
                 params = strategy.inject_noise(params, key, lr)
-            return params, opt_states, strat_state, loss
+            return (params, opt_states, strat_state, (dec_params, dec_opt),
+                    (sim_params, sim_opt), loss)
 
-        def chunk(params, opt_states, strat_state, batches, keys, steps, lrs):
+        def chunk(params, opt_states, strat_state, dec_bundle, sim_bundle,
+                  batches, keys, steps, lrs):
             def body(carry, xs):
-                p, o, s = carry
+                p, o, s, db, sb = carry
                 batch, key, step, lr = xs
-                p, o, s, loss = one_step(p, o, s, batch, key, step, lr)
-                return (p, o, s), loss
+                p, o, s, db, sb, loss = one_step(
+                    p, o, s, db, sb, batch, key, step, lr
+                )
+                return (p, o, s, db, sb), loss
 
-            (params, opt_states, strat_state), losses = jax.lax.scan(
-                body, (params, opt_states, strat_state),
-                (batches, keys, steps, lrs),
+            (params, opt_states, strat_state, dec_bundle, sim_bundle), losses = (
+                jax.lax.scan(
+                    body,
+                    (params, opt_states, strat_state, dec_bundle, sim_bundle),
+                    (batches, keys, steps, lrs),
+                )
             )
-            return params, opt_states, strat_state, losses
+            return (params, opt_states, strat_state, dec_bundle, sim_bundle,
+                    losses)
 
         return jax.jit(chunk, donate_argnums=(0, 1))
 
@@ -208,11 +306,19 @@ class DynRunner:
                 ],
                 jnp.float32,
             )
-            (self.splats, self.opt_states, self.strategy_state, chunk_losses
-             ) = self._train_step(
-                self.splats, self.opt_states, self.strategy_state, batches,
-                keys, steps, lrs,
+            dec_bundle = (self.decoder_params, self.decoder_opt_state)
+            sim_bundle = (
+                (self.sim_params, self.sim_opt_state)
+                if self.compression_sim is not None else (None, None)
             )
+            (self.splats, self.opt_states, self.strategy_state, dec_bundle,
+             sim_bundle, chunk_losses) = self._train_step(
+                self.splats, self.opt_states, self.strategy_state, dec_bundle,
+                sim_bundle, batches, keys, steps, lrs,
+            )
+            self.decoder_params, self.decoder_opt_state = dec_bundle
+            if self.compression_sim is not None:
+                self.sim_params, self.sim_opt_state = sim_bundle
             step += S
             losses.extend(np.asarray(chunk_losses).tolist())
             if (
@@ -240,7 +346,7 @@ class DynRunner:
             img, _, _ = self._render(
                 self.splats, jnp.asarray(d["camtoworld"]), jnp.asarray(d["K"]),
                 jnp.asarray(d["timestamp"]), w, h,
-                self.cfg.isect_capacity or 1 << 19,
+                self.cfg.isect_capacity or 1 << 19, self.decoder_params,
             )
             img = jnp.clip(img[0], 0, 1)
             tgt = jnp.asarray(d["image"])

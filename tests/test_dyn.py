@@ -104,3 +104,25 @@ def test_dyn_training_descends(rng):
     after = runner.eval()["psnr"]
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
     assert after > before, (before, after)
+
+
+def test_dyn_sandwich_decoder_with_stg_sim(rng):
+    """STG path: 9-channel feature render + Sandwich CNN decoder with
+    per-pixel rays (simple_trainer_STG.py:531,:580) under the STG
+    compression simulation — trains, descends, and updates the decoder."""
+    ds = _SyntheticVideo(rng)
+    cfg = DynConfig(
+        result_dir="/tmp/gsc_dyn_stg_test", max_steps=40, mcmc_cap_max=128,
+        isect_capacity=8192, steps_per_dispatch=10,
+        color_mode="sandwich", compression_sim=True, entropy_model_opt=True,
+        rd_lambda=1e-3, rasterizer="pallas",
+    )
+    runner = DynRunner(cfg, ds.points, ds.rgbs, ds, ds, scene_scale=1.0)
+    object.__setattr__(runner.strategy, "refine_start_iter", 1 << 30)
+    w1_before = np.asarray(runner.decoder_params["w1"]).copy()
+    losses = runner.train(log_every=0)
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    assert not np.allclose(np.asarray(runner.decoder_params["w1"]), w1_before)
+    m = runner.eval()
+    assert np.isfinite(m["psnr"])
