@@ -28,6 +28,12 @@ def main():
     p.add_argument("--output_dir", default="results/ply_seq")
     p.add_argument("--rate_points", nargs="*", default=["rp2"])
     p.add_argument("--all_intra", action="store_true")
+    p.add_argument("--eval_views", type=int, default=4,
+                   help="orbit views for decoded-vs-source render metrics"
+                   " (0 disables the evaluation loop)")
+    p.add_argument("--eval_width", type=int, default=640)
+    p.add_argument("--eval_height", type=int, default=480)
+    p.add_argument("--eval_frame_stride", type=int, default=1)
     args = p.parse_args()
 
     from gscodec_studio_tpu.utils.ply import load_ply, save_ply
@@ -66,6 +72,20 @@ def main():
             "rate_point": rp, "qp": qp, "bytes": size,
             "bytes_per_frame": size / len(frames),
         }
+        if args.eval_views > 0:
+            # close the rate-distortion loop: render decoded vs source
+            # splats and report GSC metrics (reference
+            # ply_loader_renderer.py + video_anchor_bench summaries)
+            from gscodec_studio_tpu.utils.ply_render import (
+                orbit_cameras, sequence_metrics,
+            )
+
+            cams = orbit_cameras(
+                np.asarray(frames[0]["means"]), n_views=args.eval_views,
+                width=args.eval_width, height=args.eval_height,
+            )
+            st = args.eval_frame_stride
+            stats.update(sequence_metrics(frames[::st], decoded[::st], cams))
         with open(os.path.join(out, "stats.json"), "w") as f:
             json.dump(stats, f)
         print(json.dumps(stats))

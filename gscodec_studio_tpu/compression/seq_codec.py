@@ -131,6 +131,13 @@ class SeqCodec:
         meta = {"side": side, "T": T, "backend": backend,
                 "all_intra": self.all_intra, "attrs": {}}
         for name in attrs:
+            if np.asarray(frames[0][name]).size == 0:
+                # zero-width attribute (e.g. shN with 0 bands): record the
+                # trailing shape so decode restores the empty array
+                meta["attrs"][name] = {
+                    "empty_shape": list(np.asarray(frames[0][name]).shape[1:])
+                }
+                continue
             vids = []
             for f, perm in zip(frames, perms):
                 v = np.asarray(f[name], np.float32)[:keep_n][perm]
@@ -178,6 +185,12 @@ class SeqCodec:
         n = side * side
         frames = [dict() for _ in range(T)]
         for name, m in meta["attrs"].items():
+            if "empty_shape" in m:
+                for t in range(T):
+                    frames[t][name] = np.zeros(
+                        [n] + m["empty_shape"], np.float32
+                    )
+                continue
             Tt, s1, s2, D = m["shape"]
             mins = np.asarray(m["mins"], np.float32)
             maxs = np.asarray(m["maxs"], np.float32)
