@@ -104,7 +104,9 @@ def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> bytes:
     lib = get_lib()
     symbols = np.ascontiguousarray(symbols, np.uint8)
     freqs = np.ascontiguousarray(freqs, np.uint32)
-    cap = symbols.size + (symbols.size >> 1) + 64
+    # worst case ~30 bits/symbol when a symbol lands in a 2^-30 context
+    # tail (e.g. an untrained conditional model); size accordingly
+    cap = symbols.size * 5 + 64
     out = np.zeros(cap, np.uint8)
     n = lib.rans_encode_u8(
         _as_ptr(symbols, ctypes.c_uint8), symbols.size,
@@ -167,7 +169,9 @@ def rans_encode_ctx(symbols, ctx, freqs_2d) -> bytes:
     ctx = np.ascontiguousarray(ctx, np.uint16)
     freqs_2d = np.ascontiguousarray(freqs_2d, np.uint32)
     nctx, nsym = freqs_2d.shape
-    cap = symbols.size + (symbols.size >> 1) + 64
+    # worst case ~30 bits/symbol when a symbol lands in a 2^-30 context
+    # tail (e.g. an untrained conditional model); size accordingly
+    cap = symbols.size * 5 + 64
     out = np.zeros(cap, np.uint8)
     n = lib.rans_encode_u8_ctx(
         _as_ptr(symbols, ctypes.c_uint8), _as_ptr(ctx, ctypes.c_uint16),

@@ -108,15 +108,18 @@ def gaussian_conditional_init(
     n_levels_3d: int = 12,
     n_levels_2d: int = 4,
     mlp_width: int = 64,
+    log2_hashmap_3d: int = 19,
+    log2_hashmap_2d: int = 17,
 ) -> Dict:
     """Position-conditioned (mu, sigma) regressor: 3D hash grid + tri-plane
     2D grids + 2-layer MLP (gaussian_distribution_model.py:348-382)."""
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    grid3d, cfg3d = hash_grid_init(k1, n_levels=n_levels_3d, dim=3)
+    grid3d, cfg3d = hash_grid_init(k1, n_levels=n_levels_3d, dim=3,
+                                   log2_hashmap_size=log2_hashmap_3d)
     planes, cfg2d = [], None
     for k in (k2, k3, k4):
         t, cfg2d = hash_grid_init(k, n_levels=n_levels_2d, dim=2,
-                                  log2_hashmap_size=17)
+                                  log2_hashmap_size=log2_hashmap_2d)
         planes.append(t)
     in_dim = n_levels_3d * 2 + 3 * n_levels_2d * 2
     w_scale = (2.0 / in_dim) ** 0.5

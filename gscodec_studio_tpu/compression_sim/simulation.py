@@ -160,12 +160,16 @@ class CompressionSimulation:
                         (means[idx] - lo_p) / jnp.maximum(hi_p - lo_p, 1e-6),
                         0.0, 1.0,
                     )
+                    # binarize=True: train through the STE sign so the
+                    # 1-bit grid export (entropy_coding ctx-ANS) runs the
+                    # exact inference the model was optimized for
                     bits = gaussian_conditional_bits(
                         sim_params["entropy"][name],
                         self._gauss_cfgs[name],
                         xq.reshape(shp[0], -1)[idx],
                         pos,
                         q_step,
+                        binarize=True,
                     )
                 else:
                     bits = factorized_bits(

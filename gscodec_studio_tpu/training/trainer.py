@@ -108,6 +108,9 @@ class Config:
     compression_sim: bool = False
     rd_lambda: float = 0.01
     entropy_model_opt: bool = False
+    # "factorized_model" | "gaussian_model" (position-conditioned hash-grid
+    # conditional; exports binarized + context-ANS at test time)
+    entropy_model_type: str = "factorized_model"
     shN_ada_mask_opt: bool = False
 
 
@@ -204,6 +207,7 @@ class Runner:
             self.compression_sim = CompressionSimulation(
                 entropy_model_opt=cfg.entropy_model_opt,
                 shN_ada_mask_opt=cfg.shN_ada_mask_opt,
+                entropy_model_type=cfg.entropy_model_type,
                 cap=cap,
                 max_steps=cfg.max_steps,
             )
@@ -785,6 +789,13 @@ class Runner:
                 self.sim_params or {}
             ):
                 ems = self.sim_params["entropy"]
+                if self.cfg.entropy_model_type == "gaussian_model":
+                    # context-ANS path: ship (binarized) conditional models
+                    ems = {
+                        k: ("gaussian",
+                            (v, self.compression_sim._gauss_cfgs[k]))
+                        for k, v in ems.items()
+                    }
             codec.compress(compress_dir, splats_host, entropy_models=ems)
         else:
             raise ValueError(method)
