@@ -62,6 +62,75 @@ def _exchange(tree):
     )
 
 
+def _exchange_bucketed(tree, radii, exchange_cap: int):
+    """Fixed-capacity visibility-bucketed exchange (the static-shape
+    equivalent of the reference's packed variable-length exchange,
+    rendering.py:397-446, per SURVEY §7's plan).
+
+    Instead of shipping every [C, Nl] slab, each device packs — per
+    destination shard d — only the Gaussians visible in d's cameras
+    (radii > 0 anywhere in the group), up to ``exchange_cap`` per
+    destination. Visible-first ordering comes from ONE small sort; the
+    attribute gathers are differentiable (their transpose scatter-adds
+    grads back onto the local shard), and overflow beyond the cap is
+    dropped with radii=0 (counted in the returned diagnostics — the same
+    drop-or-spill policy knob the dense path's isect capacity has).
+
+    radii: [C, Nl]. tree leaves: [C, Nl, ...]. Returns (exchanged tree
+    with leaves [C/G, G*cap, ...], radii_ex [C/G, G*cap], diag dict).
+    Exchange volume per attr: C/G * G*cap vs the dense C * Nl — a
+    cap/Nl-fold reduction."""
+    G = jax.lax.axis_size(AXIS)
+    C, Nl = radii.shape
+    Cl = C // G
+    exchange_cap = min(exchange_cap, Nl)
+    vis = jnp.any(
+        (radii > 0).reshape(G, Cl, Nl), axis=1
+    )  # [G, Nl] visible-for-dest
+    # visible-first permutation per destination (stable single-key sort)
+    order = jax.lax.sort(
+        (jnp.where(vis, 0, 1).astype(jnp.int32),
+         jnp.broadcast_to(jnp.arange(Nl, dtype=jnp.int32)[None], (G, Nl))),
+        num_keys=1, is_stable=True,
+    )[1][:, :exchange_cap]  # [G, cap]
+    kept_vis = jnp.take_along_axis(vis, order, axis=1)  # [G, cap]
+    n_visible = jnp.sum(vis, axis=1)  # [G]
+    overflow = jnp.sum(jnp.maximum(n_visible - exchange_cap, 0))
+
+    def pack(x):
+        # [C, Nl, ...] -> per-dest [G, Cl, cap, ...] (only the dest's
+        # cameras' rows ship)
+        xd = x.reshape((G, Cl, Nl) + x.shape[2:])
+        idx = order[:, None, :].reshape(
+            (G, 1, exchange_cap) + (1,) * (x.ndim - 2)
+        )
+        return jnp.take_along_axis(
+            xd, jnp.broadcast_to(idx, (G, Cl, exchange_cap) + (1,) * (x.ndim - 2)),
+            axis=2,
+        )
+
+    packed = jax.tree_util.tree_map(pack, tree)
+    radii_p = pack(radii)  # [G, Cl, cap]
+    radii_p = jnp.where(kept_vis[:, None, :], radii_p, 0)
+
+    def a2a(x):
+        # [G_dest, Cl, cap, ...] -> received [G_src, Cl, cap, ...] ->
+        # camera-major candidate list [Cl, G_src*cap, ...]
+        y = jax.lax.all_to_all(x, AXIS, split_axis=0, concat_axis=0,
+                               tiled=True)
+        y = jnp.moveaxis(y.reshape((G, Cl, exchange_cap) + x.shape[3:]), 0, 1)
+        return y.reshape((Cl, G * exchange_cap) + x.shape[3:])
+
+    ex = jax.tree_util.tree_map(a2a, packed)
+    radii_ex = a2a(radii_p)
+    diag = {
+        "overflow": overflow,
+        "sent_rows": jnp.int32(G * Cl * exchange_cap),
+        "dense_rows": jnp.int32(C * Nl),
+    }
+    return ex, radii_ex, diag
+
+
 def rasterize_sharded(
     means,  # [Nl, 3] local shard
     quats,
@@ -78,9 +147,12 @@ def rasterize_sharded(
     far_plane: float = 1e10,
     tile_size: int = 16,
     backgrounds=None,
+    exchange_cap: Optional[int] = None,
 ):
     """Inside-shard_map distributed rasterization. Returns this device's
-    [C/G, H, W, 3] renders (cameras are split round-robin contiguous)."""
+    ([C/G, H, W, 3] renders, alphas, diagnostics). Cameras are split
+    contiguous; ``exchange_cap`` switches the dense [C, Nl] exchange to
+    the fixed-capacity visibility-bucketed one."""
     C = viewmats.shape[0]
 
     radii, means2d, depths, conics, _ = fully_fused_projection(
@@ -98,15 +170,20 @@ def rasterize_sharded(
     colors = jnp.clip(colors + 0.5, 0.0, None)
     opac_cn = jnp.broadcast_to(opacities[None, :], (C, means.shape[0]))
 
-    # The exchange: every tensor [C, Nl, ...] -> [C/G, N, ...].
-    ex = _exchange(
-        dict(radii=radii, means2d=means2d, depths=depths, conics=conics,
-             colors=colors, opacities=opac_cn)
-    )
+    # The exchange: [C, Nl, ...] -> [C/G, N or G*cap, ...].
+    tree = dict(means2d=means2d, depths=depths, conics=conics,
+                colors=colors, opacities=opac_cn)
+    if exchange_cap is not None:
+        ex, radii_ex, diag = _exchange_bucketed(tree, radii, exchange_cap)
+        ex["radii"] = radii_ex
+    else:
+        ex = _exchange(dict(tree, radii=radii))
+        diag = {"overflow": jnp.int32(0),
+                "sent_rows": jnp.int32(radii.size),
+                "dense_rows": jnp.int32(radii.size)}
 
     tile_width = -(-width // tile_size)
     tile_height = -(-height // tile_size)
-    Cl = ex["radii"].shape[0]
     isect = isect_tiles(
         ex["means2d"], ex["radii"], ex["depths"], tile_size, tile_width,
         tile_height, isect_capacity,
@@ -115,7 +192,7 @@ def rasterize_sharded(
         ex["means2d"], ex["conics"], ex["colors"], ex["opacities"], isect,
         None, width, height, tile_size, backgrounds,
     )
-    return img, alp
+    return img, alp, diag
 
 
 def distributed_render(
@@ -127,6 +204,7 @@ def distributed_render(
     height: int,
     sh_degree: int = 3,
     isect_capacity: int = 1 << 20,
+    exchange_cap: Optional[int] = None,
 ):
     """User-facing multi-chip render: returns [C, H, W, 3] images."""
 
@@ -142,9 +220,9 @@ def distributed_render(
         shs = jnp.concatenate(
             [splats_shard["sh0"], splats_shard["shN"]], axis=1
         )
-        img, _ = rasterize_sharded(
+        img, _, _ = rasterize_sharded(
             means, quats, scales, opac, shs, viewmats, Ks, width, height,
-            sh_degree, isect_capacity,
+            sh_degree, isect_capacity, exchange_cap=exchange_cap,
         )
         return img
 
@@ -162,10 +240,11 @@ def distributed_train_step(
     sh_degree: int = 3,
     isect_capacity: int = 1 << 20,
     ssim_lambda: float = 0.2,
+    exchange_cap: Optional[int] = None,
 ):
     """One full distributed training step: forward, psum'd loss, backward
     through the all_to_all, local-shard Adam updates. Returns (splats,
-    opt_states, loss)."""
+    opt_states, loss, diagnostics)."""
     height, width = images.shape[1:3]
     G = mesh.devices.size
     cap = splats["means"].shape[0]
@@ -182,27 +261,30 @@ def distributed_train_step(
         shard_map,
         mesh=mesh,
         in_specs=(P(AXIS), opt_specs, P(AXIS), P(), P()),
-        out_specs=(P(AXIS), opt_specs, P()),
+        out_specs=(P(AXIS), opt_specs, P(), P()),
         check_vma=False,
     )
     def run(splats_shard, opt_shard, images_shard, viewmats, Ks):
         def loss_fn(params):
             means, quats, scales, opac = splat_activations(params)
             shs = jnp.concatenate([params["sh0"], params["shN"]], axis=1)
-            img, _ = rasterize_sharded(
+            img, _, diag = rasterize_sharded(
                 means, quats, scales, opac, shs, viewmats, Ks, width, height,
-                sh_degree, isect_capacity,
+                sh_degree, isect_capacity, exchange_cap=exchange_cap,
             )
             local = combined_loss(img, images_shard, ssim_lambda)
             # mean over all cameras: every shard holds C/G of them
-            return jax.lax.pmean(local, AXIS)
+            return jax.lax.pmean(local, AXIS), diag
 
-        loss, grads = jax.value_and_grad(loss_fn)(splats_shard)
+        (loss, diag), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(splats_shard)
+        diag = {k: jax.lax.pmax(v, AXIS) for k, v in diag.items()}
         new_params, new_opt = {}, {}
         for name, p in splats_shard.items():
             upd, st = txs[name].update(grads[name], opt_shard[name], p)
             new_params[name] = p + upd
             new_opt[name] = st
-        return new_params, new_opt, loss
+        return new_params, new_opt, loss, diag
 
     return run(splats, opt_states, images, viewmats, Ks)

@@ -63,7 +63,7 @@ def test_distributed_train_step_runs_and_descends(rng):
     p, o = splats, opt_states
     losses = []
     for _ in range(2):
-        p, o, loss = distributed_train_step(
+        p, o, loss, _ = distributed_train_step(
             mesh, p, o, txs, targets, viewmats, Ks, sh_degree=1,
             isect_capacity=4096,
         )
@@ -72,3 +72,28 @@ def test_distributed_train_step_runs_and_descends(rng):
     # Params actually changed and stayed finite.
     assert np.all(np.isfinite(np.asarray(p["means"])))
     assert not np.allclose(np.asarray(p["means"]), np.asarray(splats["means"]))
+
+
+@pytest.mark.skipif(jax.device_count() < G, reason="needs 8 devices")
+def test_bucketed_exchange_matches_dense(rng):
+    """Visibility-bucketed fixed-capacity exchange == dense exchange when
+    the cap covers every visible Gaussian, at a fraction of the volume."""
+    splats, viewmats, Ks, W, H = _scene(rng)
+    mesh = make_mesh(G)
+
+    dense = distributed_render(
+        mesh, splats, viewmats, Ks, W, H, sh_degree=1, isect_capacity=8192
+    )
+    bucketed = distributed_render(
+        mesh, splats, viewmats, Ks, W, H, sh_degree=1, isect_capacity=8192,
+        exchange_cap=128 // G,  # == Nl: cap covers every visible gaussian
+    )
+    np.testing.assert_allclose(
+        np.asarray(bucketed), np.asarray(dense), rtol=1e-4, atol=1e-4
+    )
+    # under-capacity: overflow is counted, render stays finite
+    tight = distributed_render(
+        mesh, splats, viewmats, Ks, W, H, sh_degree=1, isect_capacity=8192,
+        exchange_cap=4,
+    )
+    assert np.all(np.isfinite(np.asarray(tight)))
