@@ -92,6 +92,11 @@ class Config:
     depth_lambda: float = 1e-2
     depth_points_cap: int = 512  # tracks per view (padded, static shape)
 
+    # Observability (reference tb_every / histogram logging,
+    # simple_trainer.py:538,1023-1053): scalars to JSONL + TensorBoard
+    tb_every: int = 100
+    tb_histograms_every: int = 0  # 0 = off
+
     # Misc
     eval_steps: tuple = (7_000, 30_000)
     save_steps: tuple = (7_000, 30_000)
@@ -276,6 +281,10 @@ class Runner:
         self._step_shape = None
         self._refine = jax.jit(self.strategy.refine)
         os.makedirs(cfg.result_dir, exist_ok=True)
+
+        from gscodec_studio_tpu.utils.logger import TrainLogger
+
+        self.logger = TrainLogger(os.path.join(cfg.result_dir, "tb"))
 
     # -- jitted step ------------------------------------------------------
 
@@ -617,6 +626,25 @@ class Runner:
                 next_log = step + log_every
             else:
                 losses.extend(np.asarray(chunk_losses).tolist())
+            if cfg.tb_every and (step % cfg.tb_every) < S:
+                n_live = int(
+                    np.sum(1.0 / (1.0 + np.exp(
+                        -np.asarray(self.splats["opacities"])
+                    )) > 0.005)
+                )
+                self.logger.scalars(
+                    {"train/loss": float(np.asarray(chunk_losses)[-1]),
+                     "train/n_isects": int(chunk_max_isects),
+                     "train/num_GS": n_live},
+                    step,
+                )
+            if cfg.tb_histograms_every and (
+                step % cfg.tb_histograms_every
+            ) < S:
+                for name in ("means", "scales", "opacities"):
+                    self.logger.histogram(
+                        f"params/{name}", np.asarray(self.splats[name]), step
+                    )
         if self.compression_sim is not None:
             self.sim_params, self.sim_opt_state = sim_bundle
         return losses
@@ -696,7 +724,17 @@ class Runner:
         cache = getattr(self, "_render_cache", None) or {}
         self._render_cache = cache
 
+        from gscodec_studio_tpu.training.lpips import (
+            lpips, lpips_available, load_lpips_weights,
+        )
+
+        lpips_w = None
+        if lpips_available():
+            lpips_w = load_lpips_weights()
+
         metrics = {"psnr": [], "ssim": []}
+        if lpips_w is not None:
+            metrics["lpips"] = []
         fns = {}
         for i in range(len(self.valset)):
             data = self.valset[i]
@@ -707,16 +745,21 @@ class Runner:
                 @jax.jit
                 def eval_fn(splats, aux, viewmat, K, tgt, _rf=rf):
                     img = _rf(splats, aux, viewmat, K)
-                    return psnr(img, tgt), ssim(img[None], tgt[None])
+                    out = (psnr(img, tgt), ssim(img[None], tgt[None]))
+                    if lpips_w is not None:
+                        out = out + (lpips(img[None], tgt[None], lpips_w),)
+                    return out
 
                 fns[(h, w)] = eval_fn
             viewmat = jnp.linalg.inv(jnp.asarray(data["camtoworld"]))
-            p_, s_ = fns[(h, w)](
+            vals = fns[(h, w)](
                 self.splats, self.aux_params, viewmat,
                 jnp.asarray(data["K"]), jnp.asarray(data["image"]),
             )
-            metrics["psnr"].append(float(p_))
-            metrics["ssim"].append(float(s_))
+            metrics["psnr"].append(float(vals[0]))
+            metrics["ssim"].append(float(vals[1]))
+            if lpips_w is not None:
+                metrics["lpips"].append(float(vals[2]))
         out = {k: float(np.mean(v)) for k, v in metrics.items()}
         stats_dir = os.path.join(self.cfg.result_dir, "stats")
         os.makedirs(stats_dir, exist_ok=True)

@@ -56,3 +56,36 @@ def test_psnr(rng):
 def test_combined_loss_zero_for_identical(rng):
     img = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
     assert float(combined_loss(img, img)) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_lpips_architecture(rng, tmp_path):
+    """LPIPS plumbing with random weights: zero for identical inputs,
+    positive for different ones, jit-safe (real numbers need the
+    converted AlexNet weights, gated by design in this zero-egress env)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gscodec_studio_tpu.training import lpips as L
+
+    w = {}
+    cin = 3
+    for i, (cout, k, _, _) in enumerate(L._ALEX):
+        w[f"conv{i}_w"] = jnp.asarray(
+            0.1 * rng.standard_normal((k, k, cin, cout)).astype(np.float32)
+        )
+        w[f"conv{i}_b"] = jnp.zeros((cout,), jnp.float32)
+        w[f"lin{i}_w"] = jnp.asarray(
+            rng.random(cout).astype(np.float32)
+        )
+        cin = cout
+    a = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    f = jax.jit(lambda x, y: L.lpips(x, y, w))
+    assert float(f(a, a)) < 1e-6
+    assert float(f(a, b)) > 0.0
+
+    # weights-gating raises a clear error
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        L.load_lpips_weights(str(tmp_path / "missing.npz"))
