@@ -117,3 +117,50 @@ def test_rasterize_ref_grad_finite(rng):
     for g in grads:
         assert np.all(np.isfinite(np.asarray(g)))
     assert np.abs(np.asarray(grads[1])).sum() > 0
+
+
+def test_rasterize_to_indices_in_range_reconstructs_oracle(rng):
+    """Chunked near-to-far index enumeration reconstructs the one-pass
+    oracle render exactly (the reference's iterative-rasterization
+    contract, _wrapper.py:572 / _torch_impl.py:522-619)."""
+    import jax.numpy as jnp
+
+    from gscodec_studio_tpu.ops.indices_range import (
+        rasterize_to_indices_in_range,
+    )
+    from tests.test_rasterize_pallas import make_2d_scene
+
+    C, N, W, H, CH = 1, 120, 48, 32, 3
+    means2d, conics, colors, opacities, depths, radii, _ = make_2d_scene(
+        rng, C=C, N=N, W=W, H=H, CH=CH
+    )
+    args = tuple(map(jnp.asarray,
+                     (means2d, conics, colors, opacities, depths, radii)))
+    img_ref, alp_ref = rasterize_to_pixels_ref(*args, W, H, 16)
+
+    T = jnp.ones((C, H, W), jnp.float32)
+    out = np.zeros((C, H, W, CH), np.float32)
+    Tnp = np.ones((C, H, W), np.float32)
+    for start in range(0, N, 32):
+        g, p, c, nv, T = rasterize_to_indices_in_range(
+            start, min(start + 32, N), T, args[0], args[1], args[3],
+            args[4], args[5], W, H, 16, out_capacity=1 << 16,
+        )
+        g, p, c = np.asarray(g), np.asarray(p), np.asarray(c)
+        nv = int(nv)
+        for i in range(nv):
+            gi, pi, ci = g[i], p[i], c[i]
+            yy, xx = pi // W, pi % W
+            dx = means2d[ci, gi, 0] - (xx + 0.5)
+            dy = means2d[ci, gi, 1] - (yy + 0.5)
+            ca, cb, cc = conics[ci, gi]
+            sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+            a = min(0.999, opacities[ci, gi] * np.exp(-sigma))
+            w = a * Tnp[ci, yy, xx]
+            out[ci, yy, xx] += w * colors[ci, gi]
+            Tnp[ci, yy, xx] *= 1.0 - a
+    np.testing.assert_allclose(out, np.asarray(img_ref), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        1.0 - Tnp[..., None], np.asarray(alp_ref), rtol=1e-4, atol=1e-5
+    )
