@@ -34,6 +34,7 @@ from gscodec_studio_tpu.optimizers import build_splat_optimizers
 from gscodec_studio_tpu.optimizers.builders import apply_updates
 from gscodec_studio_tpu.rendering import rasterization
 from gscodec_studio_tpu.strategy import DefaultStrategy, MCMCStrategy
+from gscodec_studio_tpu.strategy.stg import STGStrategy
 from gscodec_studio_tpu.training.losses import combined_loss, psnr, ssim
 
 DYN_PARAM_LRS = dict(
@@ -91,6 +92,9 @@ class DynRunner:
         if cfg.strategy == "mcmc":
             cap = cfg.mcmc_cap_max
             self.strategy = MCMCStrategy(cap_max=cap)
+        elif cfg.strategy == "stg":
+            cap = cfg.capacity or 4 * n_init
+            self.strategy = STGStrategy()
         else:
             cap = cfg.capacity or 4 * n_init
             self.strategy = DefaultStrategy()
@@ -225,6 +229,9 @@ class DynRunner:
             grads = gmap[0]
             dec_grads = gmap.get(1)
             sim_grads = gmap.get(2)
+            if isinstance(strategy, STGStrategy):
+                # post-refine temporal freezing (STG_Strategy.py:106-111)
+                grads = strategy.mask_gradients(params, grads, step)
             params, opt_states = apply_updates(
                 self.txs, opt_states, params, grads
             )

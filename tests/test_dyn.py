@@ -126,3 +126,21 @@ def test_dyn_sandwich_decoder_with_stg_sim(rng):
     assert not np.allclose(np.asarray(runner.decoder_params["w1"]), w1_before)
     m = runner.eval()
     assert np.isfinite(m["psnr"])
+
+
+def test_dyn_stg_strategy(rng):
+    """STG strategy drives the dynamic trainer: densify-count budget +
+    post-refine omega/rotation gradient freezing (STG_Strategy.py)."""
+    ds = _SyntheticVideo(rng)
+    cfg = DynConfig(
+        result_dir="/tmp/gsc_dyn_stgstrat_test", max_steps=30, capacity=160,
+        isect_capacity=8192, steps_per_dispatch=10, strategy="stg",
+        rasterizer="pallas",
+    )
+    runner = DynRunner(cfg, ds.points, ds.rgbs, ds, ds, scene_scale=1.0)
+    from gscodec_studio_tpu.strategy.stg import STGStrategy
+
+    assert isinstance(runner.strategy, STGStrategy)
+    losses = runner.train(log_every=0)
+    assert np.all(np.isfinite(losses))
+    assert "densify_count" in runner.strategy_state
