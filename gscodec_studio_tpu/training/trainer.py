@@ -768,6 +768,56 @@ class Runner:
         return out
 
 
+    def render_traj(self, step: int = 0, traj: str = "interp",
+                    n_frames: int = 120, fps: int = 30):
+        """Render an eval-camera trajectory video (reference render_traj,
+        simple_trainer.py:1293-1366): interp / ellipse / spiral paths from
+        the training poses, written as mp4 (imageio-ffmpeg) with a pngseq
+        fallback."""
+        from gscodec_studio_tpu.datasets.traj import (
+            generate_ellipse_path,
+            generate_interpolated_path,
+            generate_spiral_path,
+        )
+
+        c2ws = np.asarray(self.parser.camtoworlds)
+        if traj == "interp":
+            n_interp = max(n_frames // max(len(c2ws) - 1, 1), 1)
+            path = np.asarray(generate_interpolated_path(c2ws, n_interp))
+        elif traj == "ellipse":
+            path = np.asarray(generate_ellipse_path(c2ws, n_frames))
+        else:
+            path = np.asarray(generate_spiral_path(c2ws, n_frames))
+        if path.shape[-2] == 3:  # [N, 3, 4] -> [N, 4, 4]
+            pad = np.tile(
+                np.array([0, 0, 0, 1], np.float32), (len(path), 1, 1)
+            )
+            path = np.concatenate([path, pad], axis=1)
+
+        d0 = self.valset[0] if len(self.valset) else self.trainset[0]
+        K = np.asarray(d0["K"])
+        h, w = d0["image"].shape[:2]
+        frames = []
+        for c2w in path:
+            img = self.render_view(c2w, K, w, h)
+            frames.append(
+                (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+            )
+
+        out_dir = os.path.join(self.cfg.result_dir, "videos")
+        os.makedirs(out_dir, exist_ok=True)
+        import imageio.v2 as imageio
+
+        out = os.path.join(out_dir, f"traj_{traj}_{step}.mp4")
+        try:
+            imageio.mimwrite(out, frames, fps=fps)
+        except Exception:
+            out = os.path.join(out_dir, f"traj_{traj}_{step}")
+            os.makedirs(out, exist_ok=True)
+            for i, f in enumerate(frames):
+                imageio.imwrite(os.path.join(out, f"{i:04d}.png"), f)
+        return out
+
     def finalize_sim(self, sim_bundle):
         """Persist optimized sim params back onto the runner (call after
         train())."""

@@ -68,3 +68,23 @@ def test_batched_aux_features_train(rng):
     # eval renders through the appearance path (zero embedding)
     m = runner.eval("feat_test")
     assert np.isfinite(m["psnr"])
+
+
+def test_render_traj(rng):
+    """Trajectory video export (reference render_traj,
+    simple_trainer.py:1293-1366)."""
+    parser = FakeParser(rng, n_views=4, width=32, height=24, n_gt=40)
+    cfg = Config(
+        result_dir="/tmp/gsc_traj_test", max_steps=5, sh_degree=0,
+        sh_degree_interval=1, capacity=60, isect_capacity=4096,
+        steps_per_dispatch=5, rasterizer="pallas",
+    )
+    runner = Runner(
+        cfg, parser=parser, trainset=FakeDataset(parser, "train"),
+        valset=FakeDataset(parser, "val"),
+    )
+    for traj in ("interp", "ellipse", "spiral"):
+        out = runner.render_traj(0, traj=traj, n_frames=6)
+        import os
+
+        assert os.path.exists(out), out
