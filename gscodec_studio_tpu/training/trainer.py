@@ -843,6 +843,12 @@ class Runner:
             flat, _ = jax.tree_util.tree_flatten(self.sim_params)
             for i, leaf in enumerate(flat):
                 arrs[f"sim/{i}"] = np.asarray(leaf)
+        if self.aux_params:
+            # pose/appearance/bilagrid modules (simple_trainer.py:1083-1099
+            # saves these alongside the splats)
+            flat, _ = jax.tree_util.tree_flatten(self.aux_params)
+            for i, leaf in enumerate(flat):
+                arrs[f"aux/{i}"] = np.asarray(leaf)
         np.savez(os.path.join(ckpt_dir, f"ckpt_{step}.npz"), step=step, **arrs)
 
     def load_checkpoint(self, path: str):
@@ -853,6 +859,10 @@ class Runner:
             flat, treedef = jax.tree_util.tree_flatten(self.sim_params)
             flat = [jnp.asarray(z[f"sim/{i}"]) for i in range(len(flat))]
             self.sim_params = jax.tree_util.tree_unflatten(treedef, flat)
+        if self.aux_params and f"aux/0" in z:
+            flat, treedef = jax.tree_util.tree_flatten(self.aux_params)
+            flat = [jnp.asarray(z[f"aux/{i}"]) for i in range(len(flat))]
+            self.aux_params = jax.tree_util.tree_unflatten(treedef, flat)
         return int(z["step"])
 
     def save_ply(self, path: str):
