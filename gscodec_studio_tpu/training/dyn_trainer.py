@@ -361,6 +361,34 @@ class DynRunner:
             out["ssim"].append(float(ssim(img[None], tgt[None])))
         return {k: float(np.mean(v)) for k, v in out.items()}
 
+    def render_view_video(self, camtoworld, K, width, height, timestamps,
+                          out_path: str, fps: int = 30):
+        """Per-view eval video: render the temporal model at each timestamp
+        from a fixed camera and write mp4/pngseq (dyngs eval videos,
+        simple_trainer_dyngs.py:820-958)."""
+        import imageio.v2 as imageio
+
+        frames = []
+        for t in timestamps:
+            img, _, _ = self._render(
+                self.splats, jnp.asarray(camtoworld), jnp.asarray(K),
+                jnp.asarray(t, jnp.float32), width, height,
+                self.cfg.isect_capacity or 1 << 19, self.decoder_params,
+            )
+            frames.append(
+                (np.clip(np.asarray(img[0]), 0, 1) * 255).astype(np.uint8)
+            )
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        try:
+            imageio.mimwrite(out_path, frames, fps=fps)
+        except Exception:
+            base = os.path.splitext(out_path)[0]
+            os.makedirs(base, exist_ok=True)
+            for i, f in enumerate(frames):
+                imageio.imwrite(os.path.join(base, f"{i:04d}.png"), f)
+            out_path = base
+        return out_path
+
     def export_frames(self, timestamps):
         """Per-frame static splats for SeqHevc-style coding
         (dyngs:1158-1271 -> compress_ply_sequence.py)."""

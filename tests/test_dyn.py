@@ -144,3 +144,20 @@ def test_dyn_stg_strategy(rng):
     losses = runner.train(log_every=0)
     assert np.all(np.isfinite(losses))
     assert "densify_count" in runner.strategy_state
+
+
+def test_dyn_render_view_video(rng, tmp_path):
+    ds = _SyntheticVideo(rng)
+    cfg = DynConfig(
+        result_dir=str(tmp_path / "dyn"), max_steps=0, mcmc_cap_max=128,
+        isect_capacity=8192, rasterizer="pallas",
+    )
+    runner = DynRunner(cfg, ds.points, ds.rgbs, ds, ds, scene_scale=1.0)
+    d = ds[0]
+    out = runner.render_view_video(
+        d["camtoworld"], d["K"], 40, 32, [0.0, 0.5, 1.0],
+        str(tmp_path / "v.mp4"),
+    )
+    import os
+
+    assert os.path.exists(out)
