@@ -1,7 +1,7 @@
-"""Viewer: load a checkpoint/.ply and render an orbit/trajectory video
-(reference examples/simple_viewer.py). Interactive viser-based viewing is
-not available in this environment; this renders offline trajectories (mp4
-when ffmpeg is present, else a PNG sequence)."""
+"""Viewer: load a checkpoint/.ply and render an orbit/trajectory video or
+serve the interactive HTTP viewer (reference examples/simple_viewer.py;
+viser is absent from this image, so --interactive uses the dependency-free
+utils/viewer.py orbit viewer instead)."""
 
 import argparse
 import os
@@ -24,6 +24,10 @@ def main():
     p.add_argument("--n_frames", type=int, default=60)
     p.add_argument("--traj", choices=["ellipse", "spiral"], default="ellipse")
     p.add_argument("--sh_degree", type=int, default=3)
+    p.add_argument("--interactive", action="store_true",
+                   help="serve the HTTP orbit viewer instead of rendering"
+                   " an offline trajectory")
+    p.add_argument("--port", type=int, default=8080)
     args = p.parse_args()
 
     from gscodec_studio_tpu.rendering import rasterization
@@ -66,6 +70,24 @@ def main():
             np.float32,
         )
     )
+
+    if args.interactive:
+        from gscodec_studio_tpu.utils.viewer import SplatViewer
+
+        def render_fn(c2w, Kv, w, h):
+            img, _, _ = rasterization(
+                means, quats, scales, opac, colors,
+                jnp.asarray(np.linalg.inv(c2w).astype(np.float32))[None],
+                jnp.asarray(Kv)[None], w, h, sh_degree=args.sh_degree,
+                isect_capacity=4 << 20,
+            )
+            return np.asarray(jnp.clip(img[0], 0, 1))
+
+        SplatViewer(
+            render_fn, width=args.width, height=args.height,
+            center=center, radius=2.5 * float(r),
+        ).serve(args.port)
+        return
 
     os.makedirs(args.output_dir, exist_ok=True)
     import imageio.v2 as imageio

@@ -69,3 +69,32 @@ def test_gsc_metrics(rng):
     assert m["psnr_rgb"] > 20
     m_same = gsc_metrics(a, a)
     assert m_same["psnr_rgb"] > 100 and m_same["ssim_y"] > 0.999
+
+
+def test_splat_viewer_serves(rng):
+    """Self-contained HTTP viewer: page + rendered JPEG round trip."""
+    import urllib.request
+
+    from gscodec_studio_tpu.utils.viewer import SplatViewer
+
+    calls = []
+
+    def render_fn(c2w, K, w, h):
+        calls.append(np.asarray(c2w))
+        return rng.random((h, w, 3)).astype(np.float32)
+
+    v = SplatViewer(render_fn, width=64, height=48)
+    port = v.start(port=0)
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10
+        ).read()
+        assert b"gscodec viewer" in page
+        jpg = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/render?theta=0.5&phi=0.2&radius=3",
+            timeout=30,
+        ).read()
+        assert jpg[:2] == b"\xff\xd8"  # JPEG SOI
+        assert len(calls) == 1 and calls[0].shape == (4, 4)
+    finally:
+        v.stop()
