@@ -79,6 +79,86 @@ def main():
         err = float(jnp.max(jnp.abs(a - b))) / denom
         print(f"grad {name:8s} rel err {err:.3e}")
 
+    check_2dgs()
+
+
+def check_2dgs(N=400, W=96, H=64):
+    """Fused 2DGS kernel vs the jnp oracle on hardware (projected surfels
+    from the real garden scene geometry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gscodec_studio_tpu.ops.projection_2dgs import (
+        fully_fused_projection_2dgs,
+    )
+    from gscodec_studio_tpu.ops.raster_v2_2dgs import (
+        rasterize_to_pixels_2dgs_v2,
+    )
+    from gscodec_studio_tpu.ops.rasterize_ref_2dgs import (
+        rasterize_to_pixels_2dgs_ref,
+    )
+
+    d = np.load("/root/reference/assets/test_garden.npz")
+    rng = np.random.default_rng(5)
+    sel = rng.choice(len(d["means3d"]), N, replace=False)
+    means = jnp.asarray(d["means3d"][sel].astype(np.float32))
+    quats = jnp.asarray(rng.standard_normal((N, 4)).astype(np.float32))
+    scales = jnp.asarray(
+        np.exp(rng.normal(-2.2, 0.4, (N, 3))).astype(np.float32)
+    )
+    vm = jnp.asarray(d["viewmats"][:1].astype(np.float32))
+    K0 = d["Ks"][0].astype(np.float32).copy()
+    K0[0] *= W / float(d["width"])
+    K0[1] *= H / float(d["height"])
+    Ks = jnp.asarray(K0[None])
+    radii, m2d, dep, M, nrm = fully_fused_projection_2dgs(
+        means, quats, scales, vm, Ks, W, H
+    )
+    op = jnp.asarray((0.3 + 0.65 * rng.random((1, N))).astype(np.float32))
+    rgb = jnp.asarray(rng.random((1, N, 3)).astype(np.float32))
+    cols = jnp.concatenate([rgb, dep[..., None]], axis=-1)
+
+    @jax.jit
+    def fused(m2d, M, cols, op, nrm):
+        img, alp, n_img, dist, med, _ = rasterize_to_pixels_2dgs_v2(
+            m2d, M, cols, op, nrm, dep, radii, W, H, tile_size=16,
+            isect_capacity=1 << 14,
+        )
+        return img, alp, n_img, dist, med
+
+    @jax.jit
+    def oracle(m2d, M, cols, op, nrm):
+        return rasterize_to_pixels_2dgs_ref(
+            m2d, M, cols, op, nrm, dep, radii, W, H, 16
+        )
+
+    of = fused(m2d, M, cols, op, nrm)
+    orc = oracle(m2d, M, cols, op, nrm)
+    for name, a, b in zip(
+        ["img", "alpha", "normals", "distort", "median"], of, orc
+    ):
+        print(f"2dgs fwd {name:8s} max abs err "
+              f"{float(jnp.max(jnp.abs(a - b))):.3e}")
+
+    def l_f(m2d, M, cols, op, nrm):
+        img, alp, n_img, dist, _ = fused(m2d, M, cols, op, nrm)
+        return (jnp.sum(img * img) + 0.3 * jnp.sum(alp)
+                + 0.2 * jnp.sum(n_img * n_img) + 0.5 * jnp.sum(dist))
+
+    def l_r(m2d, M, cols, op, nrm):
+        img, alp, n_img, dist, _ = oracle(m2d, M, cols, op, nrm)
+        return (jnp.sum(img * img) + 0.3 * jnp.sum(alp)
+                + 0.2 * jnp.sum(n_img * n_img) + 0.5 * jnp.sum(dist))
+
+    gf = jax.grad(l_f, argnums=(0, 1, 2, 3, 4))(m2d, M, cols, op, nrm)
+    gr = jax.grad(l_r, argnums=(0, 1, 2, 3, 4))(m2d, M, cols, op, nrm)
+    for name, a, b in zip(
+        ["means2d", "transforms", "colors", "opac", "normals"], gf, gr
+    ):
+        denom = float(jnp.max(jnp.abs(b))) + 1e-8
+        print(f"2dgs grad {name:10s} rel err "
+              f"{float(jnp.max(jnp.abs(a - b))) / denom:.3e}")
+
 
 if __name__ == "__main__":
     main()
