@@ -95,6 +95,11 @@ class V2Cfg(NamedTuple):
     n_attr: int = 0  # 0 -> 3DGS layout (6 + channels)
     cull: bool = True
     extra_out: int = 0  # fwd per-pixel outputs beyond channels+alpha
+    # "exact" reproduces the CUDA per-pair inclusive-product cutoff
+    # (fwd.cu:137-166); "soft" admits the invisible sub-1e-4 tail within a
+    # chunk (early termination stays chunk-granular) for ~20% cheaper pair
+    # math — the same production knob the v1 kernel shipped with
+    cutoff: str = "exact"
 
     @property
     def n_tiles(self):
@@ -563,11 +568,18 @@ def _chunk_pair(cfg, chunk, px, py, c, off, end):
                 clamped=alpha_raw > MAX_ALPHA)
 
 
-def _composite(alpha, t_cur):
-    """Front-to-back weights with the exact CUDA inclusive-product cutoff.
-    t_cur: (P, 1) carried transmittance. Returns (w, m, t_prev, t_new)."""
+def _composite(alpha, t_cur, cutoff="exact"):
+    """Front-to-back weights. t_cur: (P, 1) carried transmittance.
+    Returns (w, m, t_prev, t_new). ``cutoff="exact"`` reproduces the CUDA
+    per-pair inclusive-product rule; "soft" drops only at chunk
+    granularity (m is None)."""
     oma = 1.0 - alpha
     t_prev = _cumprod_excl_lane(oma) * t_cur
+    if cutoff == "soft":
+        w = alpha * t_prev
+        K_ = alpha.shape[1]
+        t_new = t_prev[:, K_ - 1:K_] * oma[:, K_ - 1:K_]
+        return w, None, t_prev, t_new
     t_incl = t_prev * oma
     m = t_incl > TRANSMITTANCE_EPS
     w = alpha * t_prev * jnp.where(m, 1.0, 0.0)
@@ -631,7 +643,7 @@ def _fwd_kernel(cfg: V2Cfg, starts_ref, masks_ref, s_hbm, out_ref, bufs,
             dma(g, slot, c).wait()
             chunk = bufs[NBUF * g + slot]  # (d_s, K)
             pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
-            w, m, t_prev, t_new = _composite(pr["alpha"], t_cur)
+            w, m, t_prev, t_new = _composite(pr["alpha"], t_cur, cfg.cutoff)
             acc = acc + jax.lax.dot_general(
                 w, chunk[6:6 + CH, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -769,7 +781,7 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
             chunk = bufs[NBUF * g + rs]  # (d_s, K)
             pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
             alpha = pr["alpha"]
-            w, m, t_prev, t_new = _composite(alpha, t_cur)
+            w, m, t_prev, t_new = _composite(alpha, t_cur, cfg.cutoff)
 
             # G[p, k] = sum_ch color_k[ch] * v_c[p, ch]
             Gpk = jax.lax.dot_general(
@@ -782,7 +794,8 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
             oma = 1.0 - alpha
             inv_oma = 1.0 / jnp.where(oma > 0, oma, 1.0)
             v_alpha = t_prev * Gpk - s * inv_oma + v_a * t_final * inv_oma
-            v_alpha = v_alpha * jnp.where(m, 1.0, 0.0)
+            if m is not None:
+                v_alpha = v_alpha * jnp.where(m, 1.0, 0.0)
             dvalid = jnp.where(
                 pr["valid"] & jnp.logical_not(pr["clamped"]), 1.0, 0.0
             )
@@ -1168,6 +1181,7 @@ def rasterize_to_pixels_v2(
     tiles_per_step: int = 4,
     interpret: Optional[bool] = None,
     absgrad_probe: Optional[jnp.ndarray] = None,  # [C, N, 2] zeros
+    cutoff_mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Differentiable fused binning + tile rasterization.
 
@@ -1188,6 +1202,7 @@ def rasterize_to_pixels_v2(
         C=C, tile_width=TW, tile_height=TH, tile_size=tile_size,
         channels=CH, cap=cap, n=N, tiles_per_step=tiles_per_step,
         interpret=interpret, absgrad=absgrad_probe is not None,
+        cutoff=cutoff_mode,
     )
     if masks is not None:
         masks_arr = masks.reshape(C * TH * TW).astype(jnp.int32)

@@ -177,7 +177,7 @@ def _fwd_kernel_2dgs(cfg: V2Cfg, zch, starts_ref, masks_ref, s_hbm, out_ref,
             dma(g, slot, c).wait()
             chunk = bufs[NBUF * g + slot]
             pr = _chunk_pair_2dgs(cfg, chunk, px, py, c, off, end)
-            w, m_, t_prev, t_new = _composite(pr["alpha"], t_cur)
+            w, m_, t_prev, t_new = _composite(pr["alpha"], t_cur, cfg.cutoff)
             acc = acc + jax.lax.dot_general(
                 w, chunk[_ACOL:_ACOL + CB, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -339,7 +339,7 @@ def _bwd_kernel_2dgs(cfg: V2Cfg, zch, starts_ref, slot_ref, masks_ref, s_hbm,
             chunk = bufs[NBUF * g + rs]
             pr = _chunk_pair_2dgs(cfg, chunk, px, py, c, off, end)
             alpha = pr["alpha"]
-            w, m_, t_prev, t_new = _composite(alpha, t_cur)
+            w, m_, t_prev, t_new = _composite(alpha, t_cur, cfg.cutoff)
             zk = chunk[zrow:zrow + 1, :]
             wz = w * zk
             A_i = accA + _cumsum_incl_lane(wz) - wz  # prefix wz before k
@@ -360,7 +360,8 @@ def _bwd_kernel_2dgs(cfg: V2Cfg, zch, starts_ref, slot_ref, masks_ref, s_hbm,
             oma = 1.0 - alpha
             inv_oma = 1.0 / jnp.where(oma > 0, oma, 1.0)
             v_alpha = t_prev * GD - s * inv_oma + v_a * t_final * inv_oma
-            v_alpha = v_alpha * jnp.where(m_, 1.0, 0.0)
+            if m_ is not None:
+                v_alpha = v_alpha * jnp.where(m_, 1.0, 0.0)
             dvalid = jnp.where(
                 pr["valid"] & jnp.logical_not(pr["clamped"]), 1.0, 0.0
             )

@@ -60,6 +60,8 @@ def rasterization(
     isect_capacity: Optional[int] = None,
     channel_chunk: int = 32,
     rasterizer: str = "fused",
+    cutoff_mode: str = "exact",  # fused only: "soft" = chunk-granular
+    # early-out (cheaper pair math, sub-1e-4 tail admitted)
     means2d_probe: Optional[jnp.ndarray] = None,
     absgrad_probe: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
@@ -171,7 +173,7 @@ def rasterization(
                 means2d, conics, cols, opacities_cn, depths, radii,
                 width, height, tile_size=tile_size,
                 isect_capacity=isect_capacity, backgrounds=bgs,
-                absgrad_probe=absgrad_probe,
+                absgrad_probe=absgrad_probe, cutoff_mode=cutoff_mode,
             )
             chunks.append(img)
         render_colors = (

@@ -108,6 +108,11 @@ class Config:
     # Rasterizer backend: "fused" (production v2), "pallas" (legacy v1),
     # "reference" (pure-jnp oracle)
     rasterizer: str = "fused"
+    # "soft" = chunk-granular early-out in the fused kernels (~20% cheaper
+    # pair math, <=1e-4-transmittance tail admitted); "exact" = the CUDA
+    # per-pair rule. Production trains soft (as v1 shipped); parity tests
+    # run exact.
+    cutoff_mode: str = "soft"
 
     # Compression simulation (training-time; compression_sim/)
     compression_sim: bool = False
@@ -371,6 +376,7 @@ class Runner:
                     means2d_probe=probe,
                     absgrad_probe=ag_probe if use_absgrad else None,
                     rasterizer=cfg.rasterizer,
+                    cutoff_mode=cfg.cutoff_mode,
                 )
                 depth_map = None
                 if cfg.depth_loss:
