@@ -22,6 +22,13 @@ RATE_POINTS = {  # qp per attribute class, mirroring the rp0-rp3 ladder
 
 
 def main():
+
+    import os as _os
+
+    if _os.environ.get("JAX_PLATFORMS"):  # honor JAX_PLATFORMS (axon relay)
+        import jax
+
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     p = argparse.ArgumentParser()
     p.add_argument("--ply_dir", required=True,
                    help="directory of frame_*.ply (tracked sequence)")

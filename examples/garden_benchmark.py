@@ -44,6 +44,12 @@ def _look_at(eye, target, up):
 def build_garden_scene(n_views, width=None, height=None, seed=0,
                        opacity=0.85):
     import jax
+
+    # The container sitecustomize force-registers the axon TPU plugin and
+    # can override JAX_PLATFORMS; honor the env explicitly so CPU runs
+    # don't touch (or hang on) the TPU relay.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from gscodec_studio_tpu.models.splats import (

@@ -11,6 +11,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
+
+# honor JAX_PLATFORMS even though the sitecustomize force-registers the
+# axon TPU plugin (CPU runs must not touch/hang on the TPU relay)
+import os as _os
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 import optax
 

@@ -36,6 +36,13 @@ def load_cameras(args, points):
 
 
 def main():
+
+    import os as _os
+
+    if _os.environ.get("JAX_PLATFORMS"):  # honor JAX_PLATFORMS (axon relay)
+        import jax
+
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     p = argparse.ArgumentParser()
     p.add_argument("--ply", required=True,
                    help=".ply file or directory of frame_*.ply")

@@ -25,6 +25,13 @@ PRESETS = {
 
 
 def main():
+
+    import os as _os
+
+    if _os.environ.get("JAX_PLATFORMS"):  # honor JAX_PLATFORMS (axon relay)
+        import jax
+
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     cfg = parse_config(Config, PRESETS)
     runner = Runner(cfg)
     runner.train()

@@ -21,6 +21,12 @@ import numpy as np
 
 def build_scene(rng, n_gauss, n_views, width, height, gt_scale=1.2):
     import jax
+
+    # The container sitecustomize force-registers the axon TPU plugin and
+    # can override JAX_PLATFORMS; honor the env explicitly so CPU runs
+    # don't touch (or hang on) the TPU relay.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from gscodec_studio_tpu.models.splats import (

@@ -368,13 +368,17 @@ class DynRunner:
         simple_trainer_dyngs.py:820-958)."""
         import imageio.v2 as imageio
 
+        render = jax.jit(
+            lambda splats, dec, c2w, K, t: self._render(
+                splats, c2w, K, t, width, height,
+                self.cfg.isect_capacity or 1 << 19, dec,
+            )[0]
+        )
+        c2w_d, K_d = jnp.asarray(camtoworld), jnp.asarray(K)
         frames = []
         for t in timestamps:
-            img, _, _ = self._render(
-                self.splats, jnp.asarray(camtoworld), jnp.asarray(K),
-                jnp.asarray(t, jnp.float32), width, height,
-                self.cfg.isect_capacity or 1 << 19, self.decoder_params,
-            )
+            img = render(self.splats, self.decoder_params, c2w_d, K_d,
+                         jnp.asarray(t, jnp.float32))
             frames.append(
                 (np.clip(np.asarray(img[0]), 0, 1) * 255).astype(np.uint8)
             )
