@@ -48,14 +48,8 @@ def _filter2d(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(x, 1, -1)
 
 
-def ssim(
-    img0: jnp.ndarray,  # [B, H, W, C] in [0, 1]
-    img1: jnp.ndarray,
-    max_val: float = 1.0,
-    win_size: int = 11,
-    sigma: float = 1.5,
-) -> jnp.ndarray:
-    """Mean SSIM over the batch (differentiable)."""
+def _ssim_cs(img0, img1, max_val, win_size, sigma):
+    """Per-pixel (ssim_map, contrast-structure_map)."""
     win = jnp.asarray(_gaussian_window(win_size, sigma))
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
@@ -65,9 +59,55 @@ def ssim(
     s00 = _filter2d(img0 * img0, win) - mu00
     s11 = _filter2d(img1 * img1, win) - mu11
     s01 = _filter2d(img0 * img1, win) - mu01
-    num = (2 * mu01 + c1) * (2 * s01 + c2)
-    den = (mu00 + mu11 + c1) * (s00 + s11 + c2)
-    return jnp.mean(num / den)
+    cs = (2 * s01 + c2) / (s00 + s11 + c2)
+    lum = (2 * mu01 + c1) / (mu00 + mu11 + c1)
+    return lum * cs, cs
+
+
+def ssim(
+    img0: jnp.ndarray,  # [B, H, W, C] in [0, 1]
+    img1: jnp.ndarray,
+    max_val: float = 1.0,
+    win_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Mean SSIM over the batch (differentiable)."""
+    sm, _ = _ssim_cs(img0, img1, max_val, win_size, sigma)
+    return jnp.mean(sm)
+
+
+# Wang et al. 2003 per-scale weights
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def ms_ssim(
+    img0: jnp.ndarray,  # [B, H, W, C] in [0, 1]
+    img1: jnp.ndarray,
+    max_val: float = 1.0,
+    win_size: int = 11,
+    sigma: float = 1.5,
+    weights=_MSSSIM_WEIGHTS,
+) -> jnp.ndarray:
+    """Multi-scale SSIM (the structural-similarity family member QMIV's
+    IVSSIM builds on; reported by utils/gsc_metrics as msssim_y). Uses as
+    many scales as the image size supports."""
+    n = len(weights)
+    h, w = img0.shape[1:3]
+    while n > 1 and min(h, w) // (2 ** (n - 1)) < win_size:
+        n -= 1
+    ws = jnp.asarray(weights[:n]) / sum(weights[:n])
+    vals = []
+    a, b = img0, img1
+    for i in range(n):
+        sm, cs = _ssim_cs(a, b, max_val, win_size, sigma)
+        vals.append(jnp.mean(sm if i == n - 1 else cs))
+        if i + 1 < n:
+            pool = lambda x: jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            ) / 4.0
+            a, b = pool(a), pool(b)
+    v = jnp.stack(vals)
+    return jnp.prod(jnp.sign(v) * jnp.abs(v) ** ws)
 
 
 def l1(img0: jnp.ndarray, img1: jnp.ndarray) -> jnp.ndarray:

@@ -32,16 +32,16 @@ def gsc_metrics(ref: np.ndarray, dist: np.ndarray) -> Dict[str, float]:
     YCbCr PSNR, and luma SSIM."""
     import jax.numpy as jnp
 
-    from gscodec_studio_tpu.training.losses import ssim
+    from gscodec_studio_tpu.training.losses import ms_ssim, ssim
 
     out = {"psnr_rgb": psnr_np(ref, dist)}
     ry, dy = rgb_to_ycbcr(ref), rgb_to_ycbcr(dist)
     for i, comp in enumerate("y cb cr".split()):
         out[f"psnr_{comp}"] = psnr_np(ry[..., i], dy[..., i])
-    out["ssim_y"] = float(
-        ssim(
-            jnp.asarray(ry[None, ..., :1], jnp.float32),
-            jnp.asarray(dy[None, ..., :1], jnp.float32),
-        )
-    )
+    a = jnp.asarray(ry[None, ..., :1], jnp.float32)
+    b = jnp.asarray(dy[None, ..., :1], jnp.float32)
+    out["ssim_y"] = float(ssim(a, b))
+    # multi-scale structural similarity — the IVSSIM-slot metric in the
+    # QMIV report
+    out["msssim_y"] = float(ms_ssim(a, b))
     return out

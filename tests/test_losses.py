@@ -89,3 +89,17 @@ def test_lpips_architecture(rng, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         L.load_lpips_weights(str(tmp_path / "missing.npz"))
+
+
+def test_ms_ssim(rng):
+    import jax.numpy as jnp
+
+    from gscodec_studio_tpu.training.losses import ms_ssim
+
+    a = jnp.asarray(rng.random((1, 96, 128, 1)).astype(np.float32))
+    b = jnp.asarray(rng.random((1, 96, 128, 1)).astype(np.float32))
+    assert float(ms_ssim(a, a)) > 0.999
+    assert float(ms_ssim(a, b)) < float(ms_ssim(a, a))
+    # small images drop scales instead of failing
+    s_ = float(ms_ssim(a[:, :24, :24], a[:, :24, :24]))
+    assert s_ > 0.999
