@@ -296,7 +296,7 @@ class Runner:
     def _build_train_step(self, height: int, width: int, sh_degree: int):
         cfg = self.cfg
         cap = self.splats["means"].shape[0]
-        isect_capacity = cfg.isect_capacity or max(cap * 4, 1 << 20)
+        isect_capacity = self._isect_capacity()
         strategy = self.strategy
         sim = self.compression_sim
 
@@ -527,7 +527,8 @@ class Runner:
 
     def _isect_capacity(self) -> int:
         cap = self.splats["means"].shape[0]
-        return self.cfg.isect_capacity or max(cap * 4, 1 << 20)
+        base = self.cfg.isect_capacity or max(cap * 4, 1 << 20)
+        return base * getattr(self, "_isect_cap_scale", 1)
 
     def _means_lr(self, step: int) -> float:
         base = PARAM_LRS["means"] * self.scene_scale * math.sqrt(
@@ -621,8 +622,8 @@ class Runner:
                 cap_used = int(chunk_max_isects)
                 isect_cap = self._isect_capacity()
                 fill = cap_used / isect_cap
-                warn = "  !! ISECT OVERFLOW (raise isect_capacity)" if (
-                    fill >= 1.0
+                warn = "  !! ISECT OVERFLOW (capacity doubles)" if (
+                    fill >= 0.95
                 ) else ""
                 print(
                     f"step {step}: loss {losses[-1]:.4f} "
@@ -630,6 +631,15 @@ class Runner:
                     f"({time.time()-t0:.1f}s)", flush=True
                 )
                 next_log = step + log_every
+                if fill >= 0.95:
+                    # Adaptive capacity: a (near-)full intersection buffer
+                    # silently truncates splats; grow it and recompile the
+                    # step instead of training on a clipped image.
+                    self._isect_cap_scale = (
+                        getattr(self, "_isect_cap_scale", 1) * 2
+                    )
+                    self._train_step = None
+                    self._render_cache = {}
             else:
                 losses.extend(np.asarray(chunk_losses).tolist())
             if cfg.tb_every and (step % cfg.tb_every) < S:
