@@ -96,6 +96,7 @@ class Config:
     # simple_trainer.py:538,1023-1053): scalars to JSONL + TensorBoard
     tb_every: int = 100
     tb_histograms_every: int = 0  # 0 = off
+    eval_save_images: bool = False  # side-by-side render|gt dumps
 
     # Misc
     eval_steps: tuple = (7_000, 30_000)
@@ -776,6 +777,23 @@ class Runner:
             metrics["ssim"].append(float(vals[1]))
             if lpips_w is not None:
                 metrics["lpips"].append(float(vals[2]))
+            if self.cfg.eval_save_images:
+                # side-by-side render | ground truth (the reference's eval
+                # image dumps, simple_trainer.py:1250-1291)
+                import imageio.v2 as imageio
+
+                rdir = os.path.join(self.cfg.result_dir, "renders")
+                os.makedirs(rdir, exist_ok=True)
+                rf = self._render_fn(w, h, self.cfg.sh_degree)
+                img = np.asarray(
+                    rf(self.splats, self.aux_params, viewmat,
+                       jnp.asarray(data["K"]))
+                )
+                pair = np.concatenate([img, data["image"]], axis=1)
+                imageio.imwrite(
+                    os.path.join(rdir, f"{stage}_{i:04d}.png"),
+                    (np.clip(pair, 0, 1) * 255).astype(np.uint8),
+                )
         out = {k: float(np.mean(v)) for k, v in metrics.items()}
         stats_dir = os.path.join(self.cfg.result_dir, "stats")
         os.makedirs(stats_dir, exist_ok=True)
