@@ -109,3 +109,25 @@ def test_adaptive_isect_capacity(rng):
     runner.train(log_every=5)
     assert getattr(runner, "_isect_cap_scale", 1) >= 2
     assert runner._isect_capacity() >= 256
+
+
+def test_fused_trainer_cpu_integration(rng):
+    """The production fused rasterizer through the full Runner (batched
+    cameras, soft cutoff, one refine cycle) in interpret mode — previously
+    this path only ran on hardware."""
+    parser = FakeParser(rng, n_views=4, width=32, height=24, n_gt=40)
+    cfg = Config(
+        result_dir="/tmp/gsc_fused_cpu_test", max_steps=12, sh_degree=0,
+        sh_degree_interval=1, capacity=70, isect_capacity=4096,
+        steps_per_dispatch=4, batch_size=2,
+        rasterizer="fused", cutoff_mode="soft",
+    )
+    runner = Runner(
+        cfg, parser=parser, trainset=FakeDataset(parser, "train"),
+        valset=FakeDataset(parser, "val"),
+    )
+    object.__setattr__(runner.strategy, "refine_start_iter", 4)
+    object.__setattr__(runner.strategy, "refine_every", 8)
+    losses = runner.train(log_every=0)
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]) + 0.05
