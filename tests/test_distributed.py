@@ -97,3 +97,30 @@ def test_bucketed_exchange_matches_dense(rng):
         exchange_cap=4,
     )
     assert np.all(np.isfinite(np.asarray(tight)))
+
+
+@pytest.mark.skipif(jax.device_count() < G, reason="needs 8 devices")
+def test_bucketed_exchange_gradient_parity(rng):
+    """One training step with the bucketed exchange produces the same
+    parameter update as the dense exchange when the cap covers every
+    visible Gaussian (gradients flow back through the gathers +
+    all_to_all identically)."""
+    splats, viewmats, Ks, W, H = _scene(rng)
+    mesh = make_mesh(G)
+    txs, opt_states = build_splat_optimizers(splats)
+    targets = jnp.asarray(rng.random((G, H, W, 3)).astype(np.float32))
+
+    p_d, _, loss_d, _ = distributed_train_step(
+        mesh, splats, opt_states, txs, targets, viewmats, Ks, sh_degree=1,
+        isect_capacity=4096,
+    )
+    p_b, _, loss_b, diag = distributed_train_step(
+        mesh, splats, opt_states, txs, targets, viewmats, Ks, sh_degree=1,
+        isect_capacity=4096, exchange_cap=128 // G,
+    )
+    np.testing.assert_allclose(float(loss_b), float(loss_d), rtol=1e-5)
+    for k in p_d:
+        np.testing.assert_allclose(
+            np.asarray(p_b[k]), np.asarray(p_d[k]), rtol=1e-4, atol=1e-5,
+            err_msg=k,
+        )
