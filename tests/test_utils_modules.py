@@ -65,7 +65,8 @@ def test_gsc_metrics(rng):
     a = rng.random((32, 32, 3)).astype(np.float32)
     b = np.clip(a + 0.05 * rng.standard_normal((32, 32, 3)), 0, 1).astype(np.float32)
     m = gsc_metrics(a, b)
-    assert set(m) == {"psnr_rgb", "psnr_y", "psnr_cb", "psnr_cr", "ssim_y"}
+    assert set(m) == {"psnr_rgb", "psnr_y", "psnr_cb", "psnr_cr",
+                      "ssim_y", "msssim_y"}
     assert m["psnr_rgb"] > 20
     m_same = gsc_metrics(a, a)
     assert m_same["psnr_rgb"] > 100 and m_same["ssim_y"] > 0.999
