@@ -74,6 +74,7 @@ def main():
             img, alpha, _ = rasterization(
                 means, quats, scales, opacities, colors, viewmats, Ks,
                 width, height, sh_degree=3, isect_capacity=isect_capacity,
+                cutoff_mode="soft",  # the trainer's production default
             )
             return jnp.mean((img - 0.5) ** 2) + 0.1 * jnp.mean(alpha)
 

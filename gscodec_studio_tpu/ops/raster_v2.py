@@ -100,6 +100,20 @@ class V2Cfg(NamedTuple):
     # chunk (early termination stays chunk-granular) for ~20% cheaper pair
     # math — the same production knob the v1 kernel shipped with
     cutoff: str = "exact"
+    # backward micro-architecture knobs (A/B-able on hardware):
+    # bwd_moments: the six per-pair gradient products + sublane reductions
+    # (v_means2d/v_conic/v_opacity rows) are algebraically separable in
+    # pixel coordinates, so ONE MXU contraction of v_sig against a fixed
+    # (8, P) pixel-moment matrix [1, px, py, px^2, px*py, py^2] (tile-LOCAL
+    # coords for f32 safety) replaces ~30 VPU ops/pair with per-GAUSSIAN
+    # (1, K) algebra. Falls back to the per-pair path when absgrad is
+    # requested (|dL/dxy| needs the per-pixel terms) or for non-3DGS
+    # layouts.
+    bwd_moments: bool = True
+    # tri_cumsum: the backward's inclusive lane cumsum (suffix color term)
+    # as a (P, K) x (K, K) upper-triangular MXU matmul instead of the
+    # 7-step roll-add scan (~20 VPU ops/pair -> MXU).
+    tri_cumsum: bool = True
 
     @property
     def n_tiles(self):
@@ -729,6 +743,30 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
             sems.at[NBUF * g + slot],
         )
 
+    use_moments = cfg.bwd_moments and not cfg.absgrad and cfg.n_attr == 0
+    ts = cfg.tile_size
+    if use_moments:
+        # Fixed pixel-moment matrix in tile-LOCAL coordinates (invariant
+        # across tiles AND chunks; Mosaic hoists it). Local coords keep the
+        # x^2-scale terms at O(tile^2) so the separable expansion below
+        # loses no f32 precision against the per-pair products.
+        r8 = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
+        pc = jax.lax.broadcasted_iota(jnp.int32, (8, P), 1)
+        pxl = (pc % ts).astype(jnp.float32) + 0.5
+        pyl = (pc // ts).astype(jnp.float32) + 0.5
+        phi = jnp.where(
+            r8 == 0, 1.0,
+            jnp.where(r8 == 1, pxl,
+            jnp.where(r8 == 2, pyl,
+            jnp.where(r8 == 3, pxl * pxl,
+            jnp.where(r8 == 4, pxl * pyl,
+            jnp.where(r8 == 5, pyl * pyl, 0.0))))))
+    if cfg.tri_cumsum:
+        tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+        ).astype(jnp.float32)
+
     t0 = step * G
     for g in range(G):
         for d in range(NBUF):
@@ -755,6 +793,9 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
         c1_full = jnp.where(enabled, c1, c0)
         slot0 = slot_ref[t]
         px, py = _pixel_coords(cfg, t)
+        rem_t = t % (cfg.tile_width * cfg.tile_height)
+        ox = ((rem_t % cfg.tile_width) * ts).astype(jnp.float32)
+        oy = ((rem_t // cfg.tile_width) * ts).astype(jnp.float32)
 
         v_out = vt_ref[g]  # (P, CHP)
         c_out = ct_ref[g]
@@ -790,7 +831,13 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
                 preferred_element_type=jnp.float32,
             )  # (P, K)
             u = w * Gpk
-            s = q_cur - _cumsum_incl_lane(u)  # suffix color term after k
+            if cfg.tri_cumsum:
+                s = q_cur - jax.lax.dot_general(
+                    u, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # suffix color term after k
+            else:
+                s = q_cur - _cumsum_incl_lane(u)
             oma = 1.0 - alpha
             inv_oma = 1.0 / jnp.where(oma > 0, oma, 1.0)
             v_alpha = t_prev * Gpk - s * inv_oma + v_a * t_final * inv_oma
@@ -803,25 +850,51 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
             dx, dy = pr["dx"], pr["dy"]
 
             rsum = lambda x: jnp.sum(x, axis=0, keepdims=True)  # (1, K)
-            vx = rsum(v_sig * (pr["ca"] * dx + pr["cb"] * dy))
-            vy = rsum(v_sig * (pr["cc"] * dy + pr["cb"] * dx))
 
             wslot = NBUF * g + rs
             wb = wbufs.at[wslot]
 
             # wait for the previous write using this buffer (if any)
             wait_write(wslot)
-            wbufs[wslot, 0:1, :] = vx
-            wbufs[wslot, 1:2, :] = vy
-            wbufs[wslot, 2:3, :] = rsum(v_sig * 0.5 * dx * dx)
-            wbufs[wslot, 3:4, :] = rsum(v_sig * dx * dy)
-            wbufs[wslot, 4:5, :] = rsum(v_sig * 0.5 * dy * dy)
+            if use_moments:
+                # ONE MXU contraction over pixels, then (1, K) algebra:
+                # sum_p v_sig*f(dx, dy) is separable since dx = xl - pxl.
+                mom = jax.lax.dot_general(
+                    phi, v_sig, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (8, K): m0, mx, my, mxx, mxy, myy, 0, 0
+                m0, mx_, my_ = mom[0:1], mom[1:2], mom[2:3]
+                mxx, mxy, myy = mom[3:4], mom[4:5], mom[5:6]
+                xl = chunk[0:1, :] - ox
+                yl = chunk[1:2, :] - oy
+                sx = xl * m0 - mx_  # sum_p v_sig*dx
+                sy = yl * m0 - my_
+                sxx = xl * xl * m0 - 2.0 * xl * mx_ + mxx
+                sxy = xl * yl * m0 - xl * my_ - yl * mx_ + mxy
+                syy = yl * yl * m0 - 2.0 * yl * my_ + myy
+                wbufs[wslot, 0:1, :] = pr["ca"] * sx + pr["cb"] * sy
+                wbufs[wslot, 1:2, :] = pr["cc"] * sy + pr["cb"] * sx
+                wbufs[wslot, 2:3, :] = 0.5 * sxx
+                wbufs[wslot, 3:4, :] = sxy
+                wbufs[wslot, 4:5, :] = 0.5 * syy
+                msum = m0
+            else:
+                wbufs[wslot, 0:1, :] = rsum(
+                    v_sig * (pr["ca"] * dx + pr["cb"] * dy)
+                )
+                wbufs[wslot, 1:2, :] = rsum(
+                    v_sig * (pr["cc"] * dy + pr["cb"] * dx)
+                )
+                wbufs[wslot, 2:3, :] = rsum(v_sig * 0.5 * dx * dx)
+                wbufs[wslot, 3:4, :] = rsum(v_sig * dx * dy)
+                wbufs[wslot, 4:5, :] = rsum(v_sig * 0.5 * dy * dy)
+                msum = rsum(v_sig)
             # v_opacity row: alpha == op*exp(-sigma) exactly wherever
             # dvalid=1, so sum(v_alpha*exp(-sigma)*dvalid) = -sum(v_sig)/op
             # (saves a second exp evaluation)
             wbufs[wslot, 5:6, :] = jnp.where(
                 pr["op"] > 0.0,
-                -rsum(v_sig) / jnp.where(pr["op"] > 0.0, pr["op"], 1.0),
+                -msum / jnp.where(pr["op"] > 0.0, pr["op"], 1.0),
                 0.0,
             )
             # v_color[ch, k] = sum_p w[p, k] * v_c[p, ch]
@@ -851,7 +924,8 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
             def _():
                 dma(g, rs, c + NBUF).start()
 
-            q_new = q_cur - jnp.sum(u, axis=1, keepdims=True)
+            # s's last lane IS q_cur - sum(u): no separate lane reduce
+            q_new = s[:, K - 1:K]
             return c + 1, t_new, q_new
 
         start_c = jnp.where(enabled, c0, c1)  # masked tile: skip main loop
