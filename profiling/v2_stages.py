@@ -118,13 +118,15 @@ def main():
     )(S, sp, slot_base, mp, tiles_out, vt, gbuf_init)
 
     # reduce
-    def red(c, gbuf, cum, origid, vis):
-        aux2 = dict(cum_i32=cum, origid_s=origid, visible_s=vis)
+    def red(c, gbuf, cum, origid, vis, n_is):
+        aux2 = dict(cum_i32=cum, origid_s=origid, visible_s=vis,
+                    n_isects=n_is)
         v_flat, _ = rv._reduce_grads(cfg, gbuf + c * 0.0, aux2)
         return s_(v_flat, c)
 
     t("reduce (all)", red,
-      (gbuf, aux["cum_i32"], aux["origid_s"], aux["visible_s"]))
+      (gbuf, aux["cum_i32"], aux["origid_s"], aux["visible_s"],
+       aux["n_isects"]))
 
     # substage: id sort of grad rows
     def red_sort(c, gbuf):
@@ -133,6 +135,57 @@ def main():
         return s_(so[1], c)
 
     t("  unpack + id sort", red_sort, (gbuf,))
+
+    # remaining reduce substages
+    nval = idrow
+    cols = jax.jit(
+        lambda g: rv.unpack_rows(g, idrow + 1, cfg.interpret)
+    )(gbuf)
+    so = jax.jit(
+        lambda *c: jax.lax.sort((c[idrow],) + tuple(c[:idrow]), num_keys=1)
+    )(*cols)
+
+    def red_pack_cumsum(c, *vals):
+        packed = rv.pack_rows([vals[0] + c * 0.0] + list(vals[1:]),
+                              rv._round8(nval), cfg.interpret)
+        csum = rv.cumsum_rows(packed, cfg.interpret)[:nval]
+        return s_(csum, c)
+
+    t("  pack + cumsum_rows", red_pack_cumsum, tuple(so[1:]))
+
+    packed = jax.jit(
+        lambda *v: rv.cumsum_rows(
+            rv.pack_rows(list(v), rv._round8(nval), cfg.interpret),
+            cfg.interpret)
+    )(*so[1:])
+
+    def red_take(c, csum, cum, n_is):
+        ends = jnp.minimum(cum, n_is)
+        pos = jnp.maximum(ends - 1, 0)
+        F = jnp.where((ends > 0)[None, :],
+                      jnp.take(csum + c * 0.0, pos, axis=1), 0.0)
+        return s_(F, c)
+
+    t("  boundary take-gather", red_take,
+      (packed[:nval], aux["cum_i32"], aux["n_isects"]))
+
+    F = jax.jit(
+        lambda csum, cum, n_is: jnp.where(
+            (jnp.minimum(cum, n_is) > 0)[None, :],
+            jnp.take(csum, jnp.maximum(jnp.minimum(cum, n_is) - 1, 0),
+                     axis=1), 0.0)
+    )(packed[:nval], aux["cum_i32"], aux["n_isects"])
+
+    def red_final(c, F, origid):
+        prev = jnp.concatenate(
+            [jnp.zeros((nval, 1), jnp.float32), F[:, :-1] + c * 0.0], axis=1)
+        seg = F - prev
+        so3 = jax.lax.sort((origid,) + tuple(seg[i] for i in range(nval)),
+                           num_keys=1, is_stable=False)
+        v_flat = jnp.stack(so3[1:1 + nval], axis=-1)
+        return s_(v_flat, c)
+
+    t("  diff + origid sort + stack", red_final, (F, aux["origid_s"]))
 
 
 if __name__ == "__main__":
