@@ -65,11 +65,15 @@ ALPHA_THRESHOLD = 1.0 / 255.0
 TRANSMITTANCE_EPS = 1e-4
 MAX_ALPHA = 0.999
 
-K = 128  # gaussians per chunk == lane width
-NBUF = 4  # chunk-DMA ring depth per tile: per-chunk pair math is ~0.5us
-# while an 8KB HBM->VMEM copy has us-scale issue latency, so double
-# buffering left both kernels DMA-latency-bound; a deeper ring keeps
-# NBUF-1 chunks in flight
+K = 128  # gaussians per chunk == lane width (pair-math granularity)
+SC = 512  # superchunk: lanes per DMA fetch (SCK chunks amortize the
+# us-scale per-copy issue latency that dominated at 8KB granularity;
+# measured round 3: ~45k chunk DMAs ~= the whole fwd kernel time)
+SCK = SC // K
+NBUF = 3  # superchunk-DMA ring depth per tile (prefetch of u+NBUF can
+# only start after u's buffer is fully consumed, so depth 3 keeps ~2
+# bodies of compute between a fetch and its first use
+WNBUF = 2  # backward grad-write group-buffer ring depth per tile
 EXPAND_B = 512  # expansion sub-block (outputs per one-hot matmul)
 EXPAND_BW = EXPAND_B + 128  # candidate window (128-aligned DMA start slack)
 EXPAND_SB = 8  # sub-blocks per expansion grid step
@@ -617,9 +621,9 @@ def _fwd_kernel(cfg: V2Cfg, starts_ref, masks_ref, s_hbm, out_ref, bufs,
     G = cfg.tiles_per_step
     step = pl.program_id(0)
 
-    def dma(g, slot, c):
+    def dma(g, slot, u):
         return pltpu.make_async_copy(
-            s_hbm.at[:, pl.ds(c * K, K)],
+            s_hbm.at[:, pl.ds(u * SC, SC)],
             bufs.at[NBUF * g + slot],
             sems.at[NBUF * g + slot],
         )
@@ -627,60 +631,68 @@ def _fwd_kernel(cfg: V2Cfg, starts_ref, masks_ref, s_hbm, out_ref, bufs,
     def bounds(t):
         off = starts_ref[t]
         end = starts_ref[t + 1]
-        c0 = off // K
-        c1 = jnp.where(
-            (end > off) & (masks_ref[t] > 0), (end + K - 1) // K, c0
+        u0 = off // SC
+        u1 = jnp.where(
+            (end > off) & (masks_ref[t] > 0), (end + SC - 1) // SC, u0
         )
-        return off, end, c0, c1
+        return off, end, u0, u1
 
     t0 = step * G
-    # warm-up: first NBUF chunks of every tile in this step
+    # warm-up: first NBUF superchunks of every tile in this step
     for g in range(G):
-        _, _, c0, c1 = bounds(t0 + g)
+        _, _, u0, u1 = bounds(t0 + g)
         for d in range(NBUF):
-            @pl.when(c0 + d < c1)
+            @pl.when(u0 + d < u1)
             def _():
-                dma(g, d, c0 + d).start()
+                dma(g, d, u0 + d).start()
 
     for g in range(G):
         t = t0 + g
-        off, end, c0, c1 = bounds(t)
+        off, end, u0, u1 = bounds(t)
         px, py = _pixel_coords(cfg, t)
 
         def cond(carry):
-            c, t_cur, _ = carry
-            return (c < c1) & (jnp.max(t_cur) > TRANSMITTANCE_EPS)
+            u, t_cur, _ = carry
+            return (u < u1) & (jnp.max(t_cur) > TRANSMITTANCE_EPS)
 
         def body(carry):
-            c, t_cur, acc = carry
-            slot = (c - c0) % NBUF
-            dma(g, slot, c).wait()
-            chunk = bufs[NBUF * g + slot]  # (d_s, K)
-            pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
-            w, m, t_prev, t_new = _composite(pr["alpha"], t_cur, cfg.cutoff)
-            acc = acc + jax.lax.dot_general(
-                w, chunk[6:6 + CH, :],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (P, CH)
+            u, t_cur, acc = carry
+            slot = (u - u0) % NBUF
+            dma(g, slot, u).wait()
+            sc_buf = bufs[NBUF * g + slot]  # (d_s, SC)
+            # pair math stays at K granularity: sub-chunks outside
+            # [off, end) are masked by `inr` (zero weight, exact)
+            for su in range(SCK):
+                c = u * SCK + su
+                chunk = sc_buf[:, su * K:(su + 1) * K]
+                pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
+                w, m, t_prev, t_cur = _composite(
+                    pr["alpha"], t_cur, cfg.cutoff
+                )
+                acc = acc + jax.lax.dot_general(
+                    w, chunk[6:6 + CH, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (P, CH)
 
-            @pl.when(c + NBUF < c1)
+            # prefetch into this slot only after its data is consumed
+            @pl.when(u + NBUF < u1)
             def _():
-                dma(g, slot, c + NBUF).start()
+                dma(g, slot, u + NBUF).start()
 
-            return c + 1, t_new, acc
+            return u + 1, t_cur, acc
 
-        c_fin, t_fin, acc = jax.lax.while_loop(
+        u_fin, t_fin, acc = jax.lax.while_loop(
             cond, body,
-            (c0, jnp.ones((P, 1), jnp.float32), jnp.zeros((P, CH), jnp.float32)),
+            (u0, jnp.ones((P, 1), jnp.float32), jnp.zeros((P, CH), jnp.float32)),
         )
 
         # drain the in-flight prefetches (early termination leaves up to
         # NBUF outstanding)
         for d in range(NBUF):
-            @pl.when(c_fin + d < c1)
+            @pl.when(u_fin + d < u1)
             def _():
-                dma(g, (c_fin + d - c0) % NBUF, c_fin + d).wait()
+                dma(g, (u_fin + d - u0) % NBUF, u_fin + d).wait()
 
         out_ref[g, :, :CH] = acc
         out_ref[g, :, CH:CH + 1] = 1.0 - t_fin
@@ -697,7 +709,7 @@ def _run_fwd(cfg: V2Cfg, S, starts_padded, masks_padded):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF * G, cfg.d_s, K), jnp.float32),
+            pltpu.VMEM((NBUF * G, cfg.d_s, SC), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF * G,)),
         ],
     )
@@ -726,19 +738,19 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
     step = pl.program_id(0)
     idrow = 6 + CH
 
-    def dma(g, slot, c):
+    def dma(g, slot, u):
         return pltpu.make_async_copy(
-            s_hbm.at[:, pl.ds(c * K, K)],
+            s_hbm.at[:, pl.ds(u * SC, SC)],
             bufs.at[NBUF * g + slot],
             sems.at[NBUF * g + slot],
         )
 
     idr0 = (idrow // 8) * 8  # sublane-aligned row block containing idrow
 
-    def dma_idrow(g, slot, c):
-        # light path: only the 8-row block holding the id row of the chunk
+    def dma_idrow(g, slot, u):
+        # light path: only the 8-row block holding the id rows
         return pltpu.make_async_copy(
-            s_hbm.at[idr0:idr0 + 8, pl.ds(c * K, K)],
+            s_hbm.at[idr0:idr0 + 8, pl.ds(u * SC, SC)],
             bufs.at[NBUF * g + slot, idr0:idr0 + 8],
             sems.at[NBUF * g + slot],
         )
@@ -769,19 +781,19 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
 
     t0 = step * G
     for g in range(G):
-        for d in range(NBUF):
-            wflag[NBUF * g + d] = 0
+        for d in range(WNBUF):
+            wflag[WNBUF * g + d] = 0
         t = t0 + g
         off = starts_ref[t]
         end = starts_ref[t + 1]
-        c0 = off // K
-        c1_full = jnp.where(
-            (end > off) & (masks_ref[t] > 0), (end + K - 1) // K, c0
+        u0 = off // SC
+        u1_full = jnp.where(
+            (end > off) & (masks_ref[t] > 0), (end + SC - 1) // SC, u0
         )
         for d in range(NBUF):
-            @pl.when(c0 + d < c1_full)
+            @pl.when(u0 + d < u1_full)
             def _():
-                dma(g, d, c0 + d).start()
+                dma(g, d, u0 + d).start()
 
     for g in range(G):
         t = t0 + g
@@ -790,7 +802,9 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
         enabled = masks_ref[t] > 0
         c0 = off // K
         c1 = jnp.where(end > off, (end + K - 1) // K, c0)
-        c1_full = jnp.where(enabled, c1, c0)
+        u0 = off // SC
+        u1 = jnp.where(end > off, (end + SC - 1) // SC, u0)
+        u1_full = jnp.where(enabled, u1, u0)
         slot0 = slot_ref[t]
         px, py = _pixel_coords(cfg, t)
         rem_t = t % (cfg.tile_width * cfg.tile_height)
@@ -805,194 +819,225 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
         q0 = jnp.sum(c_out[:, :CH] * v_c, axis=1, keepdims=True)  # (P, 1)
 
         def wait_write(wslot):
-            @pl.when(wflag[wslot] == 1)
-            def _():
-                pltpu.make_async_copy(
-                    wbufs.at[wslot], wbufs.at[wslot], wsems.at[wslot]
-                ).wait()
+            # The in-flight write's size varies at tile boundaries; the
+            # wait descriptor must match the started copy's size, so the
+            # (first, width) code is carried in wflag.
+            for sf in range(SCK):
+                for wdth in range(1, SCK - sf + 1):
+                    @pl.when(wflag[wslot] == 1 + sf * SCK + (wdth - 1))
+                    def _():
+                        pltpu.make_async_copy(
+                            wbufs.at[wslot, :, sf * K:(sf + wdth) * K],
+                            wbufs.at[wslot, :, sf * K:(sf + wdth) * K],
+                            wsems.at[wslot],
+                        ).wait()
+            wflag[wslot] = 0
+
+        def flush_group(ws, u):
+            # Write this superchunk's grad block to its gbuf slots. Tile
+            # boundary groups write a narrower window so writes never
+            # overlap another tile's slots: sub-chunks su with
+            # c = u*SCK + su outside [c0, c1) are excluded. The VMEM source
+            # offset must be static, so the (first, width) cases are
+            # enumerated (only boundary groups have first > 0 or width < SCK).
+            su_first = jnp.maximum(c0 - u * SCK, 0)
+            su_last = jnp.minimum(c1 - 1 - u * SCK, SCK - 1)
+            width = su_last - su_first + 1
+            dslot = slot0 + (u * SCK + su_first - c0)
+            for sf in range(SCK):
+                for wdth in range(1, SCK - sf + 1):
+                    @pl.when((su_first == sf) & (width == wdth))
+                    def _():
+                        pltpu.make_async_copy(
+                            wbufs.at[ws, :, sf * K:(sf + wdth) * K],
+                            gbuf_hbm.at[:, pl.ds(dslot * K, wdth * K)],
+                            wsems.at[ws],
+                        ).start()
+                        wflag[ws] = 1 + sf * SCK + (wdth - 1)
 
         def cond(carry):
-            c, t_cur, _ = carry
-            return (c < c1_full) & (jnp.max(t_cur) > TRANSMITTANCE_EPS)
+            u, t_cur, _ = carry
+            return (u < u1_full) & (jnp.max(t_cur) > TRANSMITTANCE_EPS)
 
         def body(carry):
-            c, t_cur, q_cur = carry
-            rs = (c - c0) % NBUF
-            dma(g, rs, c).wait()
-            chunk = bufs[NBUF * g + rs]  # (d_s, K)
-            pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
-            alpha = pr["alpha"]
-            w, m, t_prev, t_new = _composite(alpha, t_cur, cfg.cutoff)
+            u, t_cur, q_cur = carry
+            rs = (u - u0) % NBUF
+            dma(g, rs, u).wait()
+            sc_buf = bufs[NBUF * g + rs]  # (d_s, SC)
+            ws = WNBUF * g + (u - u0) % WNBUF
+            wait_write(ws)  # previous write using this group buffer
 
-            # G[p, k] = sum_ch color_k[ch] * v_c[p, ch]
-            Gpk = jax.lax.dot_general(
-                v_c, chunk[6:6 + CH, :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (P, K)
-            u = w * Gpk
-            if cfg.tri_cumsum:
-                s = q_cur - jax.lax.dot_general(
-                    u, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+            for su in range(SCK):
+                c = u * SCK + su
+                chunk = sc_buf[:, su * K:(su + 1) * K]
+                pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
+                alpha = pr["alpha"]
+                w, m, t_prev, t_cur = _composite(alpha, t_cur, cfg.cutoff)
+
+                # G[p, k] = sum_ch color_k[ch] * v_c[p, ch]
+                Gpk = jax.lax.dot_general(
+                    v_c, chunk[6:6 + CH, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # suffix color term after k
-            else:
-                s = q_cur - _cumsum_incl_lane(u)
-            oma = 1.0 - alpha
-            inv_oma = 1.0 / jnp.where(oma > 0, oma, 1.0)
-            v_alpha = t_prev * Gpk - s * inv_oma + v_a * t_final * inv_oma
-            if m is not None:
-                v_alpha = v_alpha * jnp.where(m, 1.0, 0.0)
-            dvalid = jnp.where(
-                pr["valid"] & jnp.logical_not(pr["clamped"]), 1.0, 0.0
-            )
-            v_sig = -alpha * v_alpha * dvalid  # (P, K)
-            dx, dy = pr["dx"], pr["dy"]
+                )  # (P, K)
+                uw = w * Gpk
+                if cfg.tri_cumsum:
+                    s = q_cur - jax.lax.dot_general(
+                        uw, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # suffix color term after k
+                else:
+                    s = q_cur - _cumsum_incl_lane(uw)
+                oma = 1.0 - alpha
+                inv_oma = 1.0 / jnp.where(oma > 0, oma, 1.0)
+                v_alpha = t_prev * Gpk - s * inv_oma + v_a * t_final * inv_oma
+                if m is not None:
+                    v_alpha = v_alpha * jnp.where(m, 1.0, 0.0)
+                dvalid = jnp.where(
+                    pr["valid"] & jnp.logical_not(pr["clamped"]), 1.0, 0.0
+                )
+                v_sig = -alpha * v_alpha * dvalid  # (P, K)
+                dx, dy = pr["dx"], pr["dy"]
 
-            rsum = lambda x: jnp.sum(x, axis=0, keepdims=True)  # (1, K)
+                rsum = lambda x: jnp.sum(x, axis=0, keepdims=True)  # (1, K)
+                sl = lambda r0, r1: (ws, slice(r0, r1), slice(su * K, (su + 1) * K))
 
-            wslot = NBUF * g + rs
-            wb = wbufs.at[wslot]
-
-            # wait for the previous write using this buffer (if any)
-            wait_write(wslot)
-            if use_moments:
-                # ONE MXU contraction over pixels, then (1, K) algebra:
-                # sum_p v_sig*f(dx, dy) is separable since dx = xl - pxl.
-                mom = jax.lax.dot_general(
-                    phi, v_sig, dimension_numbers=(((1,), (0,)), ((), ())),
+                if use_moments:
+                    # ONE MXU contraction over pixels, then (1, K) algebra:
+                    # sum_p v_sig*f(dx, dy) is separable since dx = xl - pxl.
+                    mom = jax.lax.dot_general(
+                        phi, v_sig,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (8, K): m0, mx, my, mxx, mxy, myy, 0, 0
+                    m0, mx_, my_ = mom[0:1], mom[1:2], mom[2:3]
+                    mxx, mxy, myy = mom[3:4], mom[4:5], mom[5:6]
+                    xl = chunk[0:1, :] - ox
+                    yl = chunk[1:2, :] - oy
+                    sx = xl * m0 - mx_  # sum_p v_sig*dx
+                    sy = yl * m0 - my_
+                    sxx = xl * xl * m0 - 2.0 * xl * mx_ + mxx
+                    sxy = xl * yl * m0 - xl * my_ - yl * mx_ + mxy
+                    syy = yl * yl * m0 - 2.0 * yl * my_ + myy
+                    wbufs[sl(0, 1)] = pr["ca"] * sx + pr["cb"] * sy
+                    wbufs[sl(1, 2)] = pr["cc"] * sy + pr["cb"] * sx
+                    wbufs[sl(2, 3)] = 0.5 * sxx
+                    wbufs[sl(3, 4)] = sxy
+                    wbufs[sl(4, 5)] = 0.5 * syy
+                    msum = m0
+                else:
+                    wbufs[sl(0, 1)] = rsum(
+                        v_sig * (pr["ca"] * dx + pr["cb"] * dy)
+                    )
+                    wbufs[sl(1, 2)] = rsum(
+                        v_sig * (pr["cc"] * dy + pr["cb"] * dx)
+                    )
+                    wbufs[sl(2, 3)] = rsum(v_sig * 0.5 * dx * dx)
+                    wbufs[sl(3, 4)] = rsum(v_sig * dx * dy)
+                    wbufs[sl(4, 5)] = rsum(v_sig * 0.5 * dy * dy)
+                    msum = rsum(v_sig)
+                # v_opacity row: alpha == op*exp(-sigma) exactly wherever
+                # dvalid=1, so sum(v_alpha*exp(-sigma)*dvalid) =
+                # -sum(v_sig)/op (saves a second exp evaluation)
+                wbufs[sl(5, 6)] = jnp.where(
+                    pr["op"] > 0.0,
+                    -msum / jnp.where(pr["op"] > 0.0, pr["op"], 1.0),
+                    0.0,
+                )
+                # v_color[ch, k] = sum_p w[p, k] * v_c[p, ch]
+                wbufs[sl(6, 6 + CH)] = jax.lax.dot_general(
+                    v_c, w, dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (8, K): m0, mx, my, mxx, mxy, myy, 0, 0
-                m0, mx_, my_ = mom[0:1], mom[1:2], mom[2:3]
-                mxx, mxy, myy = mom[3:4], mom[4:5], mom[5:6]
-                xl = chunk[0:1, :] - ox
-                yl = chunk[1:2, :] - oy
-                sx = xl * m0 - mx_  # sum_p v_sig*dx
-                sy = yl * m0 - my_
-                sxx = xl * xl * m0 - 2.0 * xl * mx_ + mxx
-                sxy = xl * yl * m0 - xl * my_ - yl * mx_ + mxy
-                syy = yl * yl * m0 - 2.0 * yl * my_ + myy
-                wbufs[wslot, 0:1, :] = pr["ca"] * sx + pr["cb"] * sy
-                wbufs[wslot, 1:2, :] = pr["cc"] * sy + pr["cb"] * sx
-                wbufs[wslot, 2:3, :] = 0.5 * sxx
-                wbufs[wslot, 3:4, :] = sxy
-                wbufs[wslot, 4:5, :] = 0.5 * syy
-                msum = m0
-            else:
-                wbufs[wslot, 0:1, :] = rsum(
-                    v_sig * (pr["ca"] * dx + pr["cb"] * dy)
                 )
-                wbufs[wslot, 1:2, :] = rsum(
-                    v_sig * (pr["cc"] * dy + pr["cb"] * dx)
+                wbufs[sl(idrow, idrow + 1)] = jnp.where(
+                    pr["inr"], chunk[idrow:idrow + 1, :], PAD_ID
                 )
-                wbufs[wslot, 2:3, :] = rsum(v_sig * 0.5 * dx * dx)
-                wbufs[wslot, 3:4, :] = rsum(v_sig * dx * dy)
-                wbufs[wslot, 4:5, :] = rsum(v_sig * 0.5 * dy * dy)
-                msum = rsum(v_sig)
-            # v_opacity row: alpha == op*exp(-sigma) exactly wherever
-            # dvalid=1, so sum(v_alpha*exp(-sigma)*dvalid) = -sum(v_sig)/op
-            # (saves a second exp evaluation)
-            wbufs[wslot, 5:6, :] = jnp.where(
-                pr["op"] > 0.0,
-                -msum / jnp.where(pr["op"] > 0.0, pr["op"], 1.0),
-                0.0,
-            )
-            # v_color[ch, k] = sum_p w[p, k] * v_c[p, ch]
-            wbufs[wslot, 6:6 + CH, :] = jax.lax.dot_general(
-                v_c, w, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            wbufs[wslot, idrow:idrow + 1, :] = jnp.where(
-                pr["inr"], chunk[idrow:idrow + 1, :], PAD_ID
-            )
-            if cfg.absgrad:
-                # |per-PIXEL xy contribution| summed over pixels
-                # (bwd.cu:232-234 takes abs before the warp reduction)
-                wbufs[wslot, idrow + 1:idrow + 2, :] = rsum(
-                    jnp.abs(v_sig * (pr["ca"] * dx + pr["cb"] * dy))
-                )
-                wbufs[wslot, idrow + 2:idrow + 3, :] = rsum(
-                    jnp.abs(v_sig * (pr["cc"] * dy + pr["cb"] * dx))
-                )
-            slot = slot0 + (c - c0)
-            pltpu.make_async_copy(
-                wb, gbuf_hbm.at[:, pl.ds(slot * K, K)], wsems.at[wslot]
-            ).start()
-            wflag[wslot] = 1
+                if cfg.absgrad:
+                    # |per-PIXEL xy contribution| summed over pixels
+                    # (bwd.cu:232-234 takes abs before the warp reduction)
+                    wbufs[sl(idrow + 1, idrow + 2)] = rsum(
+                        jnp.abs(v_sig * (pr["ca"] * dx + pr["cb"] * dy))
+                    )
+                    wbufs[sl(idrow + 2, idrow + 3)] = rsum(
+                        jnp.abs(v_sig * (pr["cc"] * dy + pr["cb"] * dx))
+                    )
+                q_cur = s[:, K - 1:K]
 
-            @pl.when(c + NBUF < c1_full)
+            flush_group(ws, u)
+
+            @pl.when(u + NBUF < u1_full)
             def _():
-                dma(g, rs, c + NBUF).start()
+                dma(g, rs, u + NBUF).start()
 
-            # s's last lane IS q_cur - sum(u): no separate lane reduce
-            q_new = s[:, K - 1:K]
-            return c + 1, t_new, q_new
+            return u + 1, t_cur, q_cur
 
-        start_c = jnp.where(enabled, c0, c1)  # masked tile: skip main loop
-        c_fin, _, _ = jax.lax.while_loop(
-            cond, body, (start_c, jnp.ones((P, 1), jnp.float32), q0)
+        start_u = jnp.where(enabled, u0, u1)  # masked tile: skip main loop
+        u_fin, _, _ = jax.lax.while_loop(
+            cond, body, (start_u, jnp.ones((P, 1), jnp.float32), q0)
         )
 
-        # drain the in-flight full-chunk prefetches
+        # drain the in-flight full-superchunk prefetches
         for d in range(NBUF):
-            @pl.when(c_fin + d < c1_full)
+            @pl.when(u_fin + d < u1_full)
             def _():
-                dma(g, (c_fin + d - c0) % NBUF, c_fin + d).wait()
+                dma(g, (u_fin + d - u0) % NBUF, u_fin + d).wait()
 
-        # Light id-row pass over the chunks never reached (early termination
-        # or masked tile): the reduction's rank==id alignment requires every
-        # in-range intersection to appear exactly once in the id-sorted
-        # gradient rows, so skipped chunks contribute (id, zero-grad) rows.
-        c_light0 = jnp.where(enabled, c_fin, c0)
+        # Light id-row pass over the superchunks never reached (early
+        # termination or masked tile): the reduction's rank==id alignment
+        # requires every in-range intersection to appear exactly once in
+        # the id-sorted gradient rows, so skipped chunks contribute
+        # (id, zero-grad) rows.
+        u_light0 = jnp.where(enabled, u_fin, u0)
 
         for d in range(NBUF):
-            @pl.when(c_light0 + d < c1)
+            @pl.when(u_light0 + d < u1)
             def _():
                 dma_idrow(
-                    g, (c_light0 + d - c0) % NBUF, c_light0 + d
+                    g, (u_light0 + d - u0) % NBUF, u_light0 + d
                 ).start()
 
         def cond_l(carry):
-            c, = carry
-            return c < c1
+            u, = carry
+            return u < u1
 
         def body_l(carry):
-            c, = carry
-            rs = (c - c0) % NBUF
-            dma_idrow(g, rs, c).wait()
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + c * K
+            u, = carry
+            rs = (u - u0) % NBUF
+            dma_idrow(g, rs, u).wait()
+            ws = WNBUF * g + (u - u0) % WNBUF
+            wait_write(ws)
+            wbufs[ws, 0:idrow, :] = jnp.zeros((idrow, SC), jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, SC), 1) + u * SC
             inr = (lane >= off) & (lane < end)
             ids = bufs[NBUF * g + rs, idrow:idrow + 1, :]
-            wslot = NBUF * g + rs
-            wait_write(wslot)
-            wbufs[wslot, 0:idrow, :] = jnp.zeros((idrow, K), jnp.float32)
-            wbufs[wslot, idrow:idrow + 1, :] = jnp.where(inr, ids, PAD_ID)
+            wbufs[ws, idrow:idrow + 1, :] = jnp.where(inr, ids, PAD_ID)
             if cfg.absgrad:
-                wbufs[wslot, idrow + 1:idrow + 3, :] = jnp.zeros(
-                    (2, K), jnp.float32
+                wbufs[ws, idrow + 1:idrow + 3, :] = jnp.zeros(
+                    (2, SC), jnp.float32
                 )
-            slot = slot0 + (c - c0)
-            pltpu.make_async_copy(
-                wbufs.at[wslot], gbuf_hbm.at[:, pl.ds(slot * K, K)],
-                wsems.at[wslot],
-            ).start()
-            wflag[wslot] = 1
+            flush_group(ws, u)
 
-            @pl.when(c + NBUF < c1)
+            @pl.when(u + NBUF < u1)
             def _():
-                dma_idrow(g, rs, c + NBUF).start()
+                dma_idrow(g, rs, u + NBUF).start()
 
-            return (c + 1,)
+            return (u + 1,)
 
-        jax.lax.while_loop(cond_l, body_l, (c_light0,))
+        jax.lax.while_loop(cond_l, body_l, (u_light0,))
 
     # drain all pending grad writes before the step ends
-    for ws in range(NBUF * G):
-        @pl.when(wflag[ws] == 1)
-        def _():
-            pltpu.make_async_copy(
-                wbufs.at[ws], wbufs.at[ws], wsems.at[ws]
-            ).wait()
+    for g in range(G):
+        for d in range(WNBUF):
+            ws = WNBUF * g + d
+            for sf in range(SCK):
+                for wdth in range(1, SCK - sf + 1):
+                    @pl.when(wflag[ws] == 1 + sf * SCK + (wdth - 1))
+                    def _():
+                        pltpu.make_async_copy(
+                            wbufs.at[ws, :, sf * K:(sf + wdth) * K],
+                            wbufs.at[ws, :, sf * K:(sf + wdth) * K],
+                            wsems.at[ws],
+                        ).wait()
 
 
 def _run_bwd(cfg: V2Cfg, S, starts_padded, slot_base, masks_padded, ct, vt,
@@ -1014,11 +1059,11 @@ def _run_bwd(cfg: V2Cfg, S, starts_padded, slot_base, masks_padded, ct, vt,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((NBUF * G, cfg.d_g, K), jnp.float32),
-            pltpu.VMEM((NBUF * G, cfg.d_s, K), jnp.float32),
+            pltpu.VMEM((WNBUF * G, cfg.d_g, SC), jnp.float32),
+            pltpu.VMEM((NBUF * G, cfg.d_s, SC), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF * G,)),
-            pltpu.SemaphoreType.DMA((NBUF * G,)),
-            pltpu.SMEM((NBUF * G,), jnp.int32),
+            pltpu.SemaphoreType.DMA((WNBUF * G,)),
+            pltpu.SMEM((WNBUF * G,), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -1034,9 +1079,125 @@ def _run_bwd(cfg: V2Cfg, S, starts_padded, slot_base, masks_padded, ct, vt,
 
 
 # ---------------------------------------------------------------------------
-# Per-Gaussian reduction: id-sort + single-pass Pallas prefix sums +
-# boundary gather at build-determined positions (no atomics, deterministic)
+# Per-Gaussian reduction: id-sort + Pallas one-hot MXU segment sums at
+# build-determined block bounds (no atomics, no gathers, deterministic)
 # ---------------------------------------------------------------------------
+
+SEG_SC = 512  # segsum fetch width (4 K-chunks per DMA)
+SEG_G = 8  # id blocks (128 compacted ids each) per grid step
+SEG_NBUF = 2  # fetch ring depth per id block
+
+
+def _segsum_kernel(d, idrow_, bounds_ref, s_hbm, out_ref, bufs, sems):
+    G, SC, NB = SEG_G, SEG_SC, SEG_NBUF
+    step = pl.program_id(0)
+
+    def dma(g, slot, c):
+        return pltpu.make_async_copy(
+            s_hbm.at[:, pl.ds(c * SC, SC)],
+            bufs.at[g * NB + slot],
+            sems.at[g * NB + slot],
+        )
+
+    def crange(b):
+        lo = bounds_ref[b]
+        hi = bounds_ref[b + 1]
+        c0 = lo // SC
+        c1 = jnp.where(hi > lo, (hi + SC - 1) // SC, c0)
+        return c0, c1
+
+    b0 = step * G
+    # warm-up: first NB fetches of every id block in this step
+    for g in range(G):
+        c0, c1 = crange(b0 + g)
+        for dd in range(NB):
+            @pl.when(c0 + dd < c1)
+            def _():
+                dma(g, dd, c0 + dd).start()
+
+    dn = (((1,), (1,)), ((), ()))
+    for g in range(G):
+        b = b0 + g
+        c0, c1 = crange(b)
+        # this block's 128 compacted ids, on sublanes
+        jf = (
+            jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0) + b * 128
+        ).astype(jnp.float32)
+
+        def cond(carry):
+            c, _ = carry
+            return c < c1
+
+        def body(carry):
+            c, acc = carry
+            slot = (c - c0) % NB
+            dma(g, slot, c).wait()
+            sc = bufs[g * NB + slot]  # (d, SC)
+            ids = sc[idrow_:idrow_ + 1, :]  # (1, SC)
+            # One-hot id membership IS the segment mask: rows of other
+            # blocks (and PAD_ID rows) compare to zero columns, so no
+            # range masking is needed — coverage of [lo, hi) suffices.
+            ohT = (jf == ids).astype(jnp.bfloat16)  # (128, SC)
+            # bit-exact f32 accumulation: 3-way bf16 mantissa split (the
+            # one-hot factor is exact in bf16; same proof as the expansion)
+            w1 = sc.astype(jnp.bfloat16)
+            r1 = sc - w1.astype(jnp.float32)
+            w2 = r1.astype(jnp.bfloat16)
+            w3 = (r1 - w2.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + (
+                jax.lax.dot_general(w1, ohT, dn,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(w2, ohT, dn,
+                                      preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(w3, ohT, dn,
+                                      preferred_element_type=jnp.float32)
+            )  # (d, 128)
+
+            @pl.when(c + NB < c1)
+            def _():
+                dma(g, slot, c + NB).start()
+
+            return c + 1, acc
+
+        _, acc = jax.lax.while_loop(
+            cond, body, (c0, jnp.zeros((d, 128), jnp.float32))
+        )
+        out_ref[:, g * 128:(g + 1) * 128] = acc
+
+
+def segsum_rows(packed, bounds, idrow, n_blocks, interpret):
+    """Per-128-id-block segment sums of id-sorted rows, on the MXU.
+
+    ``packed``: [d, L] attr-major id-sorted rows with the compacted id at
+    row ``idrow`` (PAD_ID for padding rows). ``bounds``: int32
+    [n_steps*SEG_G + 1] row bounds per id block (block b's rows live in
+    [bounds[b], bounds[b+1]), known from the build's cum_i32). Returns
+    [d, n_steps*SEG_G*128] block-summed columns in compacted-id order.
+    Replaces the CUDA backward's atomicAdd scatter
+    (rasterize_to_pixels_bwd.cu:243-274) with a deterministic streaming
+    one-hot contraction."""
+    d, L = packed.shape
+    G = SEG_G
+    steps = -(-n_blocks // G)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (d, G * 128), lambda i, b: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G * SEG_NBUF, d, SEG_SC), jnp.float32),
+            pltpu.SemaphoreType.DMA((G * SEG_NBUF,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_segsum_kernel, d, idrow),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d, steps * G * 128), jnp.float32),
+        interpret=interpret,
+    )(bounds, packed)
+
 
 CUMSUM_BLK = 8192
 
@@ -1085,11 +1246,12 @@ def _reduce_grads(cfg: V2Cfg, gbuf, aux):
     the expansion enumerates intersections in compacted-id-major order, so
     the id-sorted layout is FULLY DETERMINED by the build: rows of compact
     id r occupy [min(cum[r-1], n_isects), min(cum[r], n_isects)). The
-    per-id sum is therefore a running-cumsum difference at positions known
-    from `aux["cum_i32"]` — no end-detection sort, and (unlike end
-    detection) correct even when `total > cap` truncates the tail: partial
-    runs reduce to partial sums instead of misaligning every later id.
-    A final sort by the original id restores input order."""
+    per-id sum is a streaming Pallas one-hot MXU contraction over each
+    128-id block's row range (``segsum_rows``), with the block bounds known
+    from `aux["cum_i32"]` — no end-detection sort, no gather, and correct
+    even when `total > cap` truncates the tail: partial runs reduce to
+    partial sums instead of misaligning every later id. A final sort by
+    the original id restores input order."""
     M = cfg.C * cfg.n
     na = cfg.n_attr_eff
     idrow = cfg.idrow
@@ -1103,25 +1265,30 @@ def _reduce_grads(cfg: V2Cfg, gbuf, aux):
     vals = cols[:idrow] + (cols[idrow + 1:] if cfg.absgrad else [])
 
     so = jax.lax.sort((ids,) + tuple(vals), num_keys=1, is_stable=False)
-    # ONE attr-major cumsum (a [R, L] axis-1 cumsum streams ~10x faster on
-    # this TPU than nine separate 1-D cumsums; pack/unpack are ~free)
-    packed = pack_rows(list(so[1:]), _round8(nval), cfg.interpret)
-    csum = cumsum_rows(packed, cfg.interpret)[:nval]  # [nval, L]
+    # restore the gbuf row layout (vals..., id, abs...) for the kernel
+    rows = list(so[1:1 + na]) + [so[0]] + list(so[1 + na:])
+    packed = pack_rows(rows, cfg.d_g, cfg.interpret)
 
-    ends = jnp.minimum(aux["cum_i32"], aux["n_isects"])  # [M], int32
-    pos = jnp.maximum(ends - 1, 0)
-    F = jnp.where(
-        (ends > 0)[None, :], jnp.take(csum, pos, axis=1), 0.0
-    )  # [nval, M] running sums at each id's last present row
-    prev = jnp.concatenate(
-        [jnp.zeros((nval, 1), jnp.float32), F[:, :-1]], axis=1
+    # per-128-id-block row bounds from the build
+    G128 = 128 * SEG_G
+    nblk = (-(-M // G128)) * SEG_G
+    idx = jnp.minimum(
+        jnp.arange(1, nblk + 1, dtype=jnp.int32) * 128 - 1, M - 1
     )
-    seg = F - prev  # compact-id order (count-0 ids diff to exactly 0)
+    bnd = jnp.minimum(jnp.take(aux["cum_i32"], idx), aux["n_isects"])
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), bnd.astype(jnp.int32)]
+    )
+
+    seg = segsum_rows(packed, bounds, idrow, nblk, cfg.interpret)
+    segrows = unpack_rows(seg, idrow + 1 + (2 if cfg.absgrad else 0),
+                          cfg.interpret)
+    segvals = segrows[:na] + (segrows[idrow + 1:] if cfg.absgrad else [])
+    segvals = [v[:M] for v in segvals]
 
     # back to original order
     so3 = jax.lax.sort(
-        (aux["origid_s"],) + tuple(seg[i] for i in range(nval)),
-        num_keys=1, is_stable=False,
+        (aux["origid_s"],) + tuple(segvals), num_keys=1, is_stable=False
     )
     v_flat = jnp.stack(so3[1 : 1 + na], axis=-1)  # [M, n_attr_eff]
     absg = (

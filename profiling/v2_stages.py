@@ -72,12 +72,23 @@ def main():
         x0, y0, nx, counts = rv.tile_counts(means2d + c * 0.0, radii, ts, TW, TH)
         counts = counts.reshape(M)
         depth_key = jnp.where(counts > 0, depths.reshape(M), jnp.inf)
-        ops = (depth_key, counts.astype(jnp.float32),
-               means2d.reshape(M, 2)[:, 0], means2d.reshape(M, 2)[:, 1])
+        base = (y0 * TW + x0).reshape(M).astype(jnp.float32)
+        origid = jnp.arange(M, dtype=jnp.float32)
+        attr = [means2d.reshape(M, 2)[:, 0], means2d.reshape(M, 2)[:, 1],
+                conics.reshape(M, 3)[:, 0], conics.reshape(M, 3)[:, 1],
+                conics.reshape(M, 3)[:, 2], opac_c.reshape(M),
+                colors_c.reshape(M, 3)[:, 0], colors_c.reshape(M, 3)[:, 1],
+                colors_c.reshape(M, 3)[:, 2]]
+        ops = (depth_key, counts.astype(jnp.float32), base,
+               jnp.maximum(nx.reshape(M), 1).astype(jnp.float32),
+               ) + tuple(attr) + (origid,)
         so = jax.lax.sort(ops, num_keys=1, is_stable=False)
-        return s_(so[1], c)
+        r = s_(so[0], c)
+        for o in so[1:]:
+            r = r + s_(o, 0.0)
+        return r
 
-    t("  compact sort (4 ops)", comp_sort,
+    t("  compact sort (14 ops live)", comp_sort,
       (means2d, conics, colors_c, opac_c, depths, radii))
 
     # fwd kernel
@@ -128,16 +139,21 @@ def main():
       (gbuf, aux["cum_i32"], aux["origid_s"], aux["visible_s"],
        aux["n_isects"]))
 
-    # substage: id sort of grad rows
+    # substage: id sort of grad rows (ALL outputs consumed — an output
+    # consumed only by nothing gets DCE'd out of the sort, which made the
+    # round-2 numbers lie)
+    nval = idrow
+
     def red_sort(c, gbuf):
         cols = rv.unpack_rows(gbuf + c * 0.0, idrow + 1, cfg.interpret)
         so = jax.lax.sort((cols[idrow],) + tuple(cols[:idrow]), num_keys=1)
-        return s_(so[1], c)
+        r = s_(so[0], c)
+        for o in so[1:]:
+            r = r + s_(o, 0.0)
+        return r
 
-    t("  unpack + id sort", red_sort, (gbuf,))
+    t("  unpack + id sort (live)", red_sort, (gbuf,))
 
-    # remaining reduce substages
-    nval = idrow
     cols = jax.jit(
         lambda g: rv.unpack_rows(g, idrow + 1, cfg.interpret)
     )(gbuf)
@@ -145,47 +161,40 @@ def main():
         lambda *c: jax.lax.sort((c[idrow],) + tuple(c[:idrow]), num_keys=1)
     )(*cols)
 
-    def red_pack_cumsum(c, *vals):
-        packed = rv.pack_rows([vals[0] + c * 0.0] + list(vals[1:]),
-                              rv._round8(nval), cfg.interpret)
-        csum = rv.cumsum_rows(packed, cfg.interpret)[:nval]
-        return s_(csum, c)
+    M = cfg.C * cfg.n
+    G128 = 128 * rv.SEG_G
+    nblk = (-(-M // G128)) * rv.SEG_G
+    idx = jnp.minimum(jnp.arange(1, nblk + 1, dtype=jnp.int32) * 128 - 1,
+                      M - 1)
+    bnd = jnp.minimum(jnp.take(aux["cum_i32"], idx), aux["n_isects"])
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), bnd.astype(jnp.int32)])
 
-    t("  pack + cumsum_rows", red_pack_cumsum, tuple(so[1:]))
+    def red_segsum(c, ids_s, *vals):
+        rows = list(vals[:nval]) + [ids_s + c * 0.0]
+        packed = rv.pack_rows(rows, cfg.d_g, cfg.interpret)
+        seg = rv.segsum_rows(packed, bounds, idrow, nblk, cfg.interpret)
+        return s_(seg, c)
+
+    t("  pack + segsum_rows", red_segsum, (so[0],) + tuple(so[1:]))
 
     packed = jax.jit(
-        lambda *v: rv.cumsum_rows(
-            rv.pack_rows(list(v), rv._round8(nval), cfg.interpret),
-            cfg.interpret)
-    )(*so[1:])
+        lambda ids_s, *vals: rv.pack_rows(
+            list(vals) + [ids_s], cfg.d_g, cfg.interpret)
+    )(so[0], *so[1:])
+    seg = jax.jit(
+        lambda p: rv.segsum_rows(p, bounds, idrow, nblk, cfg.interpret)
+    )(packed)
 
-    def red_take(c, csum, cum, n_is):
-        ends = jnp.minimum(cum, n_is)
-        pos = jnp.maximum(ends - 1, 0)
-        F = jnp.where((ends > 0)[None, :],
-                      jnp.take(csum + c * 0.0, pos, axis=1), 0.0)
-        return s_(F, c)
-
-    t("  boundary take-gather", red_take,
-      (packed[:nval], aux["cum_i32"], aux["n_isects"]))
-
-    F = jax.jit(
-        lambda csum, cum, n_is: jnp.where(
-            (jnp.minimum(cum, n_is) > 0)[None, :],
-            jnp.take(csum, jnp.maximum(jnp.minimum(cum, n_is) - 1, 0),
-                     axis=1), 0.0)
-    )(packed[:nval], aux["cum_i32"], aux["n_isects"])
-
-    def red_final(c, F, origid):
-        prev = jnp.concatenate(
-            [jnp.zeros((nval, 1), jnp.float32), F[:, :-1] + c * 0.0], axis=1)
-        seg = F - prev
-        so3 = jax.lax.sort((origid,) + tuple(seg[i] for i in range(nval)),
-                           num_keys=1, is_stable=False)
+    def red_final(c, seg, origid):
+        segrows = rv.unpack_rows(seg + c * 0.0, idrow, cfg.interpret)
+        segvals = [v[:M] for v in segrows[:nval]]
+        so3 = jax.lax.sort((origid,) + tuple(segvals), num_keys=1,
+                           is_stable=False)
         v_flat = jnp.stack(so3[1:1 + nval], axis=-1)
         return s_(v_flat, c)
 
-    t("  diff + origid sort + stack", red_final, (F, aux["origid_s"]))
+    t("  unpack + origid sort + stack", red_final, (seg, aux["origid_s"]))
 
 
 if __name__ == "__main__":
