@@ -66,14 +66,11 @@ TRANSMITTANCE_EPS = 1e-4
 MAX_ALPHA = 0.999
 
 K = 128  # gaussians per chunk == lane width (pair-math granularity)
-SC = 512  # superchunk: lanes per DMA fetch (SCK chunks amortize the
-# us-scale per-copy issue latency that dominated at 8KB granularity;
-# measured round 3: ~45k chunk DMAs ~= the whole fwd kernel time)
-SCK = SC // K
-NBUF = 3  # superchunk-DMA ring depth per tile (prefetch of u+NBUF can
-# only start after u's buffer is fully consumed, so depth 3 keeps ~2
-# bodies of compute between a fetch and its first use
-WNBUF = 2  # backward grad-write group-buffer ring depth per tile
+NBUF = 4  # chunk-DMA ring depth per tile. Round-3 note: a 512-lane
+# superchunk-DMA variant (4 chunks/fetch) was built and measured SLOWER
+# (fwd 44->56ms, bwd 64->82ms at bench scale): the kernels are
+# compute-bound with this ring depth, and superchunk-granular processing
+# added ~30% masked pair math at run boundaries. Per-chunk fetches stay.
 EXPAND_B = 512  # expansion sub-block (outputs per one-hot matmul)
 EXPAND_BW = EXPAND_B + 128  # candidate window (128-aligned DMA start slack)
 EXPAND_SB = 8  # sub-blocks per expansion grid step
@@ -457,28 +454,36 @@ def _build_sorted_generic(cfg: V2Cfg, means2d, attr_rows, depths, radii):
     TW, TH, ts = cfg.tile_width, cfg.tile_height, cfg.tile_size
     cap = cfg.cap
 
-    x0, y0, nx, counts = tile_counts(means2d, radii, ts, TW, TH)
-    counts = counts.reshape(M)
-    visible = counts > 0
+    # Pre-sort: only visibility is needed for the key; counts/base/nx are
+    # recomputed from the sorted (x, y, radius) rows so the sort carries 2
+    # fewer payload operands (sort cost is ~linear in payload count).
+    _, _, _, counts_pre = tile_counts(means2d, radii, ts, TW, TH)
+    visible = counts_pre.reshape(M) > 0
     depth_key = jnp.where(visible, depths.reshape(M), jnp.inf).astype(
         jnp.float32
     )
-    cam = jnp.arange(C, dtype=jnp.int32)[:, None]
-    base = (cam * (TW * TH) + y0 * TW + x0).reshape(M).astype(jnp.float32)
     origid = jnp.arange(M, dtype=jnp.float32)
 
     ops = (
         depth_key,
-        counts.astype(jnp.float32),
-        base,
-        jnp.maximum(nx.reshape(M), 1).astype(jnp.float32),
+        radii.reshape(M).astype(jnp.float32),
     ) + tuple(attr_rows) + (origid,)
     so = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    counts_s = so[1]
-    cum_i32 = jnp.cumsum(counts_s.astype(jnp.int32))
+    radius_s = so[1]
+    origid_s = so[-1]
+    # recompute rect/counts in sorted order (attr rows 0, 1 are x, y)
+    m2d_s = jnp.stack([so[2], so[3]], axis=-1)
+    x0s, y0s, nxs, counts_si = tile_counts(
+        m2d_s, radius_s.astype(jnp.int32), ts, TW, TH
+    )
+    counts_s = counts_si.astype(jnp.float32)
+    cam_s = jnp.floor(origid_s / float(N))
+    base_s = cam_s * float(TW * TH) + (
+        y0s * TW + x0s
+    ).astype(jnp.float32)
+    cum_i32 = jnp.cumsum(counts_si)
     total = cum_i32[-1]
     n_isects = jnp.minimum(total, cap)
-    origid_s = so[-1]
 
     # table rows: cum, cnt, base, nx, cidx, x, y, ca, cb, cc, op, colors[CH]
     # pad the table to a fixed granularity so the pack kernel gets an
@@ -490,10 +495,10 @@ def _build_sorted_generic(cfg: V2Cfg, means2d, attr_rows, depths, radii):
     rows = [
         padv(cum_i32.astype(jnp.float32), 3.0e7),
         padv(counts_s, 0.0),
-        padv(so[2], 0.0),
-        padv(so[3], 1.0),
+        padv(base_s, 0.0),
+        padv(jnp.maximum(nxs, 1).astype(jnp.float32), 1.0),
         padv(jnp.arange(M, dtype=jnp.float32), 0.0),
-    ] + [padv(so[4 + i], 0.0) for i in range(cfg.n_attr_eff)]
+    ] + [padv(so[2 + i], 0.0) for i in range(cfg.n_attr_eff)]
     table_T = pack_rows(rows, cfg.d_t, cfg.interpret)
 
     g0s = jnp.searchsorted(
@@ -515,7 +520,7 @@ def _build_sorted_generic(cfg: V2Cfg, means2d, attr_rows, depths, radii):
         side="left"
     ).astype(jnp.int32)
     aux = dict(cum_i32=cum_i32, origid_s=origid_s,
-               visible_s=counts_s > 0, n_isects=n_isects)
+               visible_s=counts_si > 0, n_isects=n_isects)
     return S, starts, aux
 
 
@@ -621,9 +626,9 @@ def _fwd_kernel(cfg: V2Cfg, starts_ref, masks_ref, s_hbm, out_ref, bufs,
     G = cfg.tiles_per_step
     step = pl.program_id(0)
 
-    def dma(g, slot, u):
+    def dma(g, slot, c):
         return pltpu.make_async_copy(
-            s_hbm.at[:, pl.ds(u * SC, SC)],
+            s_hbm.at[:, pl.ds(c * K, K)],
             bufs.at[NBUF * g + slot],
             sems.at[NBUF * g + slot],
         )
@@ -631,68 +636,60 @@ def _fwd_kernel(cfg: V2Cfg, starts_ref, masks_ref, s_hbm, out_ref, bufs,
     def bounds(t):
         off = starts_ref[t]
         end = starts_ref[t + 1]
-        u0 = off // SC
-        u1 = jnp.where(
-            (end > off) & (masks_ref[t] > 0), (end + SC - 1) // SC, u0
+        c0 = off // K
+        c1 = jnp.where(
+            (end > off) & (masks_ref[t] > 0), (end + K - 1) // K, c0
         )
-        return off, end, u0, u1
+        return off, end, c0, c1
 
     t0 = step * G
-    # warm-up: first NBUF superchunks of every tile in this step
+    # warm-up: first NBUF chunks of every tile in this step
     for g in range(G):
-        _, _, u0, u1 = bounds(t0 + g)
+        _, _, c0, c1 = bounds(t0 + g)
         for d in range(NBUF):
-            @pl.when(u0 + d < u1)
+            @pl.when(c0 + d < c1)
             def _():
-                dma(g, d, u0 + d).start()
+                dma(g, d, c0 + d).start()
 
     for g in range(G):
         t = t0 + g
-        off, end, u0, u1 = bounds(t)
+        off, end, c0, c1 = bounds(t)
         px, py = _pixel_coords(cfg, t)
 
         def cond(carry):
-            u, t_cur, _ = carry
-            return (u < u1) & (jnp.max(t_cur) > TRANSMITTANCE_EPS)
+            c, t_cur, _ = carry
+            return (c < c1) & (jnp.max(t_cur) > TRANSMITTANCE_EPS)
 
         def body(carry):
-            u, t_cur, acc = carry
-            slot = (u - u0) % NBUF
-            dma(g, slot, u).wait()
-            sc_buf = bufs[NBUF * g + slot]  # (d_s, SC)
-            # pair math stays at K granularity: sub-chunks outside
-            # [off, end) are masked by `inr` (zero weight, exact)
-            for su in range(SCK):
-                c = u * SCK + su
-                chunk = sc_buf[:, su * K:(su + 1) * K]
-                pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
-                w, m, t_prev, t_cur = _composite(
-                    pr["alpha"], t_cur, cfg.cutoff
-                )
-                acc = acc + jax.lax.dot_general(
-                    w, chunk[6:6 + CH, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (P, CH)
+            c, t_cur, acc = carry
+            slot = (c - c0) % NBUF
+            dma(g, slot, c).wait()
+            chunk = bufs[NBUF * g + slot]  # (d_s, K)
+            pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
+            w, m, t_prev, t_new = _composite(pr["alpha"], t_cur, cfg.cutoff)
+            acc = acc + jax.lax.dot_general(
+                w, chunk[6:6 + CH, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (P, CH)
 
-            # prefetch into this slot only after its data is consumed
-            @pl.when(u + NBUF < u1)
+            @pl.when(c + NBUF < c1)
             def _():
-                dma(g, slot, u + NBUF).start()
+                dma(g, slot, c + NBUF).start()
 
-            return u + 1, t_cur, acc
+            return c + 1, t_new, acc
 
-        u_fin, t_fin, acc = jax.lax.while_loop(
+        c_fin, t_fin, acc = jax.lax.while_loop(
             cond, body,
-            (u0, jnp.ones((P, 1), jnp.float32), jnp.zeros((P, CH), jnp.float32)),
+            (c0, jnp.ones((P, 1), jnp.float32), jnp.zeros((P, CH), jnp.float32)),
         )
 
         # drain the in-flight prefetches (early termination leaves up to
         # NBUF outstanding)
         for d in range(NBUF):
-            @pl.when(u_fin + d < u1)
+            @pl.when(c_fin + d < c1)
             def _():
-                dma(g, (u_fin + d - u0) % NBUF, u_fin + d).wait()
+                dma(g, (c_fin + d - c0) % NBUF, c_fin + d).wait()
 
         out_ref[g, :, :CH] = acc
         out_ref[g, :, CH:CH + 1] = 1.0 - t_fin
@@ -709,7 +706,7 @@ def _run_fwd(cfg: V2Cfg, S, starts_padded, masks_padded):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF * G, cfg.d_s, SC), jnp.float32),
+            pltpu.VMEM((NBUF * G, cfg.d_s, K), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF * G,)),
         ],
     )
@@ -738,19 +735,19 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
     step = pl.program_id(0)
     idrow = 6 + CH
 
-    def dma(g, slot, u):
+    def dma(g, slot, c):
         return pltpu.make_async_copy(
-            s_hbm.at[:, pl.ds(u * SC, SC)],
+            s_hbm.at[:, pl.ds(c * K, K)],
             bufs.at[NBUF * g + slot],
             sems.at[NBUF * g + slot],
         )
 
     idr0 = (idrow // 8) * 8  # sublane-aligned row block containing idrow
 
-    def dma_idrow(g, slot, u):
-        # light path: only the 8-row block holding the id rows
+    def dma_idrow(g, slot, c):
+        # light path: only the 8-row block holding the id row of the chunk
         return pltpu.make_async_copy(
-            s_hbm.at[idr0:idr0 + 8, pl.ds(u * SC, SC)],
+            s_hbm.at[idr0:idr0 + 8, pl.ds(c * K, K)],
             bufs.at[NBUF * g + slot, idr0:idr0 + 8],
             sems.at[NBUF * g + slot],
         )
@@ -781,19 +778,19 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
 
     t0 = step * G
     for g in range(G):
-        for d in range(WNBUF):
-            wflag[WNBUF * g + d] = 0
+        for d in range(NBUF):
+            wflag[NBUF * g + d] = 0
         t = t0 + g
         off = starts_ref[t]
         end = starts_ref[t + 1]
-        u0 = off // SC
-        u1_full = jnp.where(
-            (end > off) & (masks_ref[t] > 0), (end + SC - 1) // SC, u0
+        c0 = off // K
+        c1_full = jnp.where(
+            (end > off) & (masks_ref[t] > 0), (end + K - 1) // K, c0
         )
         for d in range(NBUF):
-            @pl.when(u0 + d < u1_full)
+            @pl.when(c0 + d < c1_full)
             def _():
-                dma(g, d, u0 + d).start()
+                dma(g, d, c0 + d).start()
 
     for g in range(G):
         t = t0 + g
@@ -802,9 +799,7 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
         enabled = masks_ref[t] > 0
         c0 = off // K
         c1 = jnp.where(end > off, (end + K - 1) // K, c0)
-        u0 = off // SC
-        u1 = jnp.where(end > off, (end + SC - 1) // SC, u0)
-        u1_full = jnp.where(enabled, u1, u0)
+        c1_full = jnp.where(enabled, c1, c0)
         slot0 = slot_ref[t]
         px, py = _pixel_coords(cfg, t)
         rem_t = t % (cfg.tile_width * cfg.tile_height)
@@ -819,225 +814,194 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
         q0 = jnp.sum(c_out[:, :CH] * v_c, axis=1, keepdims=True)  # (P, 1)
 
         def wait_write(wslot):
-            # The in-flight write's size varies at tile boundaries; the
-            # wait descriptor must match the started copy's size, so the
-            # (first, width) code is carried in wflag.
-            for sf in range(SCK):
-                for wdth in range(1, SCK - sf + 1):
-                    @pl.when(wflag[wslot] == 1 + sf * SCK + (wdth - 1))
-                    def _():
-                        pltpu.make_async_copy(
-                            wbufs.at[wslot, :, sf * K:(sf + wdth) * K],
-                            wbufs.at[wslot, :, sf * K:(sf + wdth) * K],
-                            wsems.at[wslot],
-                        ).wait()
-            wflag[wslot] = 0
-
-        def flush_group(ws, u):
-            # Write this superchunk's grad block to its gbuf slots. Tile
-            # boundary groups write a narrower window so writes never
-            # overlap another tile's slots: sub-chunks su with
-            # c = u*SCK + su outside [c0, c1) are excluded. The VMEM source
-            # offset must be static, so the (first, width) cases are
-            # enumerated (only boundary groups have first > 0 or width < SCK).
-            su_first = jnp.maximum(c0 - u * SCK, 0)
-            su_last = jnp.minimum(c1 - 1 - u * SCK, SCK - 1)
-            width = su_last - su_first + 1
-            dslot = slot0 + (u * SCK + su_first - c0)
-            for sf in range(SCK):
-                for wdth in range(1, SCK - sf + 1):
-                    @pl.when((su_first == sf) & (width == wdth))
-                    def _():
-                        pltpu.make_async_copy(
-                            wbufs.at[ws, :, sf * K:(sf + wdth) * K],
-                            gbuf_hbm.at[:, pl.ds(dslot * K, wdth * K)],
-                            wsems.at[ws],
-                        ).start()
-                        wflag[ws] = 1 + sf * SCK + (wdth - 1)
+            @pl.when(wflag[wslot] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    wbufs.at[wslot], wbufs.at[wslot], wsems.at[wslot]
+                ).wait()
 
         def cond(carry):
-            u, t_cur, _ = carry
-            return (u < u1_full) & (jnp.max(t_cur) > TRANSMITTANCE_EPS)
+            c, t_cur, _ = carry
+            return (c < c1_full) & (jnp.max(t_cur) > TRANSMITTANCE_EPS)
 
         def body(carry):
-            u, t_cur, q_cur = carry
-            rs = (u - u0) % NBUF
-            dma(g, rs, u).wait()
-            sc_buf = bufs[NBUF * g + rs]  # (d_s, SC)
-            ws = WNBUF * g + (u - u0) % WNBUF
-            wait_write(ws)  # previous write using this group buffer
+            c, t_cur, q_cur = carry
+            rs = (c - c0) % NBUF
+            dma(g, rs, c).wait()
+            chunk = bufs[NBUF * g + rs]  # (d_s, K)
+            pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
+            alpha = pr["alpha"]
+            w, m, t_prev, t_new = _composite(alpha, t_cur, cfg.cutoff)
 
-            for su in range(SCK):
-                c = u * SCK + su
-                chunk = sc_buf[:, su * K:(su + 1) * K]
-                pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
-                alpha = pr["alpha"]
-                w, m, t_prev, t_cur = _composite(alpha, t_cur, cfg.cutoff)
-
-                # G[p, k] = sum_ch color_k[ch] * v_c[p, ch]
-                Gpk = jax.lax.dot_general(
-                    v_c, chunk[6:6 + CH, :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
+            # G[p, k] = sum_ch color_k[ch] * v_c[p, ch]
+            Gpk = jax.lax.dot_general(
+                v_c, chunk[6:6 + CH, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (P, K)
+            u = w * Gpk
+            if cfg.tri_cumsum:
+                s = q_cur - jax.lax.dot_general(
+                    u, tri, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (P, K)
-                uw = w * Gpk
-                if cfg.tri_cumsum:
-                    s = q_cur - jax.lax.dot_general(
-                        uw, tri, dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # suffix color term after k
-                else:
-                    s = q_cur - _cumsum_incl_lane(uw)
-                oma = 1.0 - alpha
-                inv_oma = 1.0 / jnp.where(oma > 0, oma, 1.0)
-                v_alpha = t_prev * Gpk - s * inv_oma + v_a * t_final * inv_oma
-                if m is not None:
-                    v_alpha = v_alpha * jnp.where(m, 1.0, 0.0)
-                dvalid = jnp.where(
-                    pr["valid"] & jnp.logical_not(pr["clamped"]), 1.0, 0.0
-                )
-                v_sig = -alpha * v_alpha * dvalid  # (P, K)
-                dx, dy = pr["dx"], pr["dy"]
+                )  # suffix color term after k
+            else:
+                s = q_cur - _cumsum_incl_lane(u)
+            oma = 1.0 - alpha
+            inv_oma = 1.0 / jnp.where(oma > 0, oma, 1.0)
+            v_alpha = t_prev * Gpk - s * inv_oma + v_a * t_final * inv_oma
+            if m is not None:
+                v_alpha = v_alpha * jnp.where(m, 1.0, 0.0)
+            dvalid = jnp.where(
+                pr["valid"] & jnp.logical_not(pr["clamped"]), 1.0, 0.0
+            )
+            v_sig = -alpha * v_alpha * dvalid  # (P, K)
+            dx, dy = pr["dx"], pr["dy"]
 
-                rsum = lambda x: jnp.sum(x, axis=0, keepdims=True)  # (1, K)
-                sl = lambda r0, r1: (ws, slice(r0, r1), slice(su * K, (su + 1) * K))
+            rsum = lambda x: jnp.sum(x, axis=0, keepdims=True)  # (1, K)
 
-                if use_moments:
-                    # ONE MXU contraction over pixels, then (1, K) algebra:
-                    # sum_p v_sig*f(dx, dy) is separable since dx = xl - pxl.
-                    mom = jax.lax.dot_general(
-                        phi, v_sig,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (8, K): m0, mx, my, mxx, mxy, myy, 0, 0
-                    m0, mx_, my_ = mom[0:1], mom[1:2], mom[2:3]
-                    mxx, mxy, myy = mom[3:4], mom[4:5], mom[5:6]
-                    xl = chunk[0:1, :] - ox
-                    yl = chunk[1:2, :] - oy
-                    sx = xl * m0 - mx_  # sum_p v_sig*dx
-                    sy = yl * m0 - my_
-                    sxx = xl * xl * m0 - 2.0 * xl * mx_ + mxx
-                    sxy = xl * yl * m0 - xl * my_ - yl * mx_ + mxy
-                    syy = yl * yl * m0 - 2.0 * yl * my_ + myy
-                    wbufs[sl(0, 1)] = pr["ca"] * sx + pr["cb"] * sy
-                    wbufs[sl(1, 2)] = pr["cc"] * sy + pr["cb"] * sx
-                    wbufs[sl(2, 3)] = 0.5 * sxx
-                    wbufs[sl(3, 4)] = sxy
-                    wbufs[sl(4, 5)] = 0.5 * syy
-                    msum = m0
-                else:
-                    wbufs[sl(0, 1)] = rsum(
-                        v_sig * (pr["ca"] * dx + pr["cb"] * dy)
-                    )
-                    wbufs[sl(1, 2)] = rsum(
-                        v_sig * (pr["cc"] * dy + pr["cb"] * dx)
-                    )
-                    wbufs[sl(2, 3)] = rsum(v_sig * 0.5 * dx * dx)
-                    wbufs[sl(3, 4)] = rsum(v_sig * dx * dy)
-                    wbufs[sl(4, 5)] = rsum(v_sig * 0.5 * dy * dy)
-                    msum = rsum(v_sig)
-                # v_opacity row: alpha == op*exp(-sigma) exactly wherever
-                # dvalid=1, so sum(v_alpha*exp(-sigma)*dvalid) =
-                # -sum(v_sig)/op (saves a second exp evaluation)
-                wbufs[sl(5, 6)] = jnp.where(
-                    pr["op"] > 0.0,
-                    -msum / jnp.where(pr["op"] > 0.0, pr["op"], 1.0),
-                    0.0,
-                )
-                # v_color[ch, k] = sum_p w[p, k] * v_c[p, ch]
-                wbufs[sl(6, 6 + CH)] = jax.lax.dot_general(
-                    v_c, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            wslot = NBUF * g + rs
+            wb = wbufs.at[wslot]
+
+            # wait for the previous write using this buffer (if any)
+            wait_write(wslot)
+            if use_moments:
+                # ONE MXU contraction over pixels, then (1, K) algebra:
+                # sum_p v_sig*f(dx, dy) is separable since dx = xl - pxl.
+                mom = jax.lax.dot_general(
+                    phi, v_sig, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                )  # (8, K): m0, mx, my, mxx, mxy, myy, 0, 0
+                m0, mx_, my_ = mom[0:1], mom[1:2], mom[2:3]
+                mxx, mxy, myy = mom[3:4], mom[4:5], mom[5:6]
+                xl = chunk[0:1, :] - ox
+                yl = chunk[1:2, :] - oy
+                sx = xl * m0 - mx_  # sum_p v_sig*dx
+                sy = yl * m0 - my_
+                sxx = xl * xl * m0 - 2.0 * xl * mx_ + mxx
+                sxy = xl * yl * m0 - xl * my_ - yl * mx_ + mxy
+                syy = yl * yl * m0 - 2.0 * yl * my_ + myy
+                wbufs[wslot, 0:1, :] = pr["ca"] * sx + pr["cb"] * sy
+                wbufs[wslot, 1:2, :] = pr["cc"] * sy + pr["cb"] * sx
+                wbufs[wslot, 2:3, :] = 0.5 * sxx
+                wbufs[wslot, 3:4, :] = sxy
+                wbufs[wslot, 4:5, :] = 0.5 * syy
+                msum = m0
+            else:
+                wbufs[wslot, 0:1, :] = rsum(
+                    v_sig * (pr["ca"] * dx + pr["cb"] * dy)
                 )
-                wbufs[sl(idrow, idrow + 1)] = jnp.where(
-                    pr["inr"], chunk[idrow:idrow + 1, :], PAD_ID
+                wbufs[wslot, 1:2, :] = rsum(
+                    v_sig * (pr["cc"] * dy + pr["cb"] * dx)
                 )
-                if cfg.absgrad:
-                    # |per-PIXEL xy contribution| summed over pixels
-                    # (bwd.cu:232-234 takes abs before the warp reduction)
-                    wbufs[sl(idrow + 1, idrow + 2)] = rsum(
-                        jnp.abs(v_sig * (pr["ca"] * dx + pr["cb"] * dy))
-                    )
-                    wbufs[sl(idrow + 2, idrow + 3)] = rsum(
-                        jnp.abs(v_sig * (pr["cc"] * dy + pr["cb"] * dx))
-                    )
-                q_cur = s[:, K - 1:K]
+                wbufs[wslot, 2:3, :] = rsum(v_sig * 0.5 * dx * dx)
+                wbufs[wslot, 3:4, :] = rsum(v_sig * dx * dy)
+                wbufs[wslot, 4:5, :] = rsum(v_sig * 0.5 * dy * dy)
+                msum = rsum(v_sig)
+            # v_opacity row: alpha == op*exp(-sigma) exactly wherever
+            # dvalid=1, so sum(v_alpha*exp(-sigma)*dvalid) = -sum(v_sig)/op
+            # (saves a second exp evaluation)
+            wbufs[wslot, 5:6, :] = jnp.where(
+                pr["op"] > 0.0,
+                -msum / jnp.where(pr["op"] > 0.0, pr["op"], 1.0),
+                0.0,
+            )
+            # v_color[ch, k] = sum_p w[p, k] * v_c[p, ch]
+            wbufs[wslot, 6:6 + CH, :] = jax.lax.dot_general(
+                v_c, w, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            wbufs[wslot, idrow:idrow + 1, :] = jnp.where(
+                pr["inr"], chunk[idrow:idrow + 1, :], PAD_ID
+            )
+            if cfg.absgrad:
+                # |per-PIXEL xy contribution| summed over pixels
+                # (bwd.cu:232-234 takes abs before the warp reduction)
+                wbufs[wslot, idrow + 1:idrow + 2, :] = rsum(
+                    jnp.abs(v_sig * (pr["ca"] * dx + pr["cb"] * dy))
+                )
+                wbufs[wslot, idrow + 2:idrow + 3, :] = rsum(
+                    jnp.abs(v_sig * (pr["cc"] * dy + pr["cb"] * dx))
+                )
+            slot = slot0 + (c - c0)
+            pltpu.make_async_copy(
+                wb, gbuf_hbm.at[:, pl.ds(slot * K, K)], wsems.at[wslot]
+            ).start()
+            wflag[wslot] = 1
 
-            flush_group(ws, u)
-
-            @pl.when(u + NBUF < u1_full)
+            @pl.when(c + NBUF < c1_full)
             def _():
-                dma(g, rs, u + NBUF).start()
+                dma(g, rs, c + NBUF).start()
 
-            return u + 1, t_cur, q_cur
+            # s's last lane IS q_cur - sum(u): no separate lane reduce
+            q_new = s[:, K - 1:K]
+            return c + 1, t_new, q_new
 
-        start_u = jnp.where(enabled, u0, u1)  # masked tile: skip main loop
-        u_fin, _, _ = jax.lax.while_loop(
-            cond, body, (start_u, jnp.ones((P, 1), jnp.float32), q0)
+        start_c = jnp.where(enabled, c0, c1)  # masked tile: skip main loop
+        c_fin, _, _ = jax.lax.while_loop(
+            cond, body, (start_c, jnp.ones((P, 1), jnp.float32), q0)
         )
 
-        # drain the in-flight full-superchunk prefetches
+        # drain the in-flight full-chunk prefetches
         for d in range(NBUF):
-            @pl.when(u_fin + d < u1_full)
+            @pl.when(c_fin + d < c1_full)
             def _():
-                dma(g, (u_fin + d - u0) % NBUF, u_fin + d).wait()
+                dma(g, (c_fin + d - c0) % NBUF, c_fin + d).wait()
 
-        # Light id-row pass over the superchunks never reached (early
-        # termination or masked tile): the reduction's rank==id alignment
-        # requires every in-range intersection to appear exactly once in
-        # the id-sorted gradient rows, so skipped chunks contribute
-        # (id, zero-grad) rows.
-        u_light0 = jnp.where(enabled, u_fin, u0)
+        # Light id-row pass over the chunks never reached (early termination
+        # or masked tile): the reduction's rank==id alignment requires every
+        # in-range intersection to appear exactly once in the id-sorted
+        # gradient rows, so skipped chunks contribute (id, zero-grad) rows.
+        c_light0 = jnp.where(enabled, c_fin, c0)
 
         for d in range(NBUF):
-            @pl.when(u_light0 + d < u1)
+            @pl.when(c_light0 + d < c1)
             def _():
                 dma_idrow(
-                    g, (u_light0 + d - u0) % NBUF, u_light0 + d
+                    g, (c_light0 + d - c0) % NBUF, c_light0 + d
                 ).start()
 
         def cond_l(carry):
-            u, = carry
-            return u < u1
+            c, = carry
+            return c < c1
 
         def body_l(carry):
-            u, = carry
-            rs = (u - u0) % NBUF
-            dma_idrow(g, rs, u).wait()
-            ws = WNBUF * g + (u - u0) % WNBUF
-            wait_write(ws)
-            wbufs[ws, 0:idrow, :] = jnp.zeros((idrow, SC), jnp.float32)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, SC), 1) + u * SC
+            c, = carry
+            rs = (c - c0) % NBUF
+            dma_idrow(g, rs, c).wait()
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + c * K
             inr = (lane >= off) & (lane < end)
             ids = bufs[NBUF * g + rs, idrow:idrow + 1, :]
-            wbufs[ws, idrow:idrow + 1, :] = jnp.where(inr, ids, PAD_ID)
+            wslot = NBUF * g + rs
+            wait_write(wslot)
+            wbufs[wslot, 0:idrow, :] = jnp.zeros((idrow, K), jnp.float32)
+            wbufs[wslot, idrow:idrow + 1, :] = jnp.where(inr, ids, PAD_ID)
             if cfg.absgrad:
-                wbufs[ws, idrow + 1:idrow + 3, :] = jnp.zeros(
-                    (2, SC), jnp.float32
+                wbufs[wslot, idrow + 1:idrow + 3, :] = jnp.zeros(
+                    (2, K), jnp.float32
                 )
-            flush_group(ws, u)
+            slot = slot0 + (c - c0)
+            pltpu.make_async_copy(
+                wbufs.at[wslot], gbuf_hbm.at[:, pl.ds(slot * K, K)],
+                wsems.at[wslot],
+            ).start()
+            wflag[wslot] = 1
 
-            @pl.when(u + NBUF < u1)
+            @pl.when(c + NBUF < c1)
             def _():
-                dma_idrow(g, rs, u + NBUF).start()
+                dma_idrow(g, rs, c + NBUF).start()
 
-            return (u + 1,)
+            return (c + 1,)
 
-        jax.lax.while_loop(cond_l, body_l, (u_light0,))
+        jax.lax.while_loop(cond_l, body_l, (c_light0,))
 
     # drain all pending grad writes before the step ends
-    for g in range(G):
-        for d in range(WNBUF):
-            ws = WNBUF * g + d
-            for sf in range(SCK):
-                for wdth in range(1, SCK - sf + 1):
-                    @pl.when(wflag[ws] == 1 + sf * SCK + (wdth - 1))
-                    def _():
-                        pltpu.make_async_copy(
-                            wbufs.at[ws, :, sf * K:(sf + wdth) * K],
-                            wbufs.at[ws, :, sf * K:(sf + wdth) * K],
-                            wsems.at[ws],
-                        ).wait()
+    for ws in range(NBUF * G):
+        @pl.when(wflag[ws] == 1)
+        def _():
+            pltpu.make_async_copy(
+                wbufs.at[ws], wbufs.at[ws], wsems.at[ws]
+            ).wait()
 
 
 def _run_bwd(cfg: V2Cfg, S, starts_padded, slot_base, masks_padded, ct, vt,
@@ -1059,11 +1023,11 @@ def _run_bwd(cfg: V2Cfg, S, starts_padded, slot_base, masks_padded, ct, vt,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((WNBUF * G, cfg.d_g, SC), jnp.float32),
-            pltpu.VMEM((NBUF * G, cfg.d_s, SC), jnp.float32),
+            pltpu.VMEM((NBUF * G, cfg.d_g, K), jnp.float32),
+            pltpu.VMEM((NBUF * G, cfg.d_s, K), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF * G,)),
-            pltpu.SemaphoreType.DMA((WNBUF * G,)),
-            pltpu.SMEM((WNBUF * G,), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF * G,)),
+            pltpu.SMEM((NBUF * G,), jnp.int32),
         ],
     )
     return pl.pallas_call(
