@@ -115,6 +115,14 @@ class V2Cfg(NamedTuple):
     # as a (P, K) x (K, K) upper-triangular MXU matmul instead of the
     # 7-step roll-add scan (~20 VPU ops/pair -> MXU).
     tri_cumsum: bool = True
+    # grad_dtype: precision of the PER-INTERSECTION gradient rows between
+    # the backward kernel and the per-gaussian reduction. "bf16" packs two
+    # truncated-bf16 values per f32 row (sort payload count nearly halves:
+    # the grad-id sort is ~0.73 ns/row/payload, the single largest step
+    # cost), at ~4e-3 relative noise on per-isect contributions — harmless
+    # for SGD, and the per-gaussian SUMS stay f32. "f32" keeps bit-accurate
+    # rows for tight oracle parity.
+    grad_dtype: str = "f32"
 
     @property
     def n_tiles(self):
@@ -143,8 +151,24 @@ class V2Cfg(NamedTuple):
         return _round8(self.n_attr_eff + 1)
 
     @property
+    def grad_packed(self):
+        return self.grad_dtype == "bf16"
+
+    @property
+    def n_vpairs(self):
+        # packed value rows: two bf16-truncated grads per f32 row
+        return (self.n_attr_eff + 1) // 2
+
+    @property
+    def gidrow(self):
+        # id row position within the gbuf layout
+        return self.n_vpairs if self.grad_packed else self.n_attr_eff
+
+    @property
     def d_g(self):
-        # grad rows: v_attrs..., id [, absx, absy]
+        # grad rows: v_attrs..., id [, abs rows]
+        if self.grad_packed:
+            return _round8(self.n_vpairs + 1 + (1 if self.absgrad else 0))
         return _round8(self.n_attr_eff + 1 + (2 if self.absgrad else 0))
 
     @property
@@ -174,6 +198,25 @@ class V2Cfg(NamedTuple):
 
 def _round8(x):
     return ((x + 7) // 8) * 8
+
+
+def _pack_pair(a, b):
+    """Two f32 maps -> one f32 map holding (trunc-bf16(a) | trunc-bf16(b)).
+
+    Pure u32 bit surgery (no 16-bit dtypes): keeps sign/exponent/7 mantissa
+    bits of each half. Exact under a later bf16 cast, which makes the
+    packed segment-sum a plain bf16 MXU matmul with NO 3-way split."""
+    ua = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    ub = jax.lax.bitcast_convert_type(b, jnp.uint32)
+    p = (ua & jnp.uint32(0xFFFF0000)) | (ub >> 16)
+    return jax.lax.bitcast_convert_type(p, jnp.float32)
+
+
+def _unpack_pair(p):
+    up = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    a = jax.lax.bitcast_convert_type(up & jnp.uint32(0xFFFF0000), jnp.float32)
+    b = jax.lax.bitcast_convert_type(up << 16, jnp.float32)
+    return a, b
 
 
 def _supports_mosaic() -> bool:
@@ -726,6 +769,33 @@ def _run_fwd(cfg: V2Cfg, S, starts_padded, masks_padded):
 # ---------------------------------------------------------------------------
 
 
+def _write_grad_rows(cfg: V2Cfg, wbufs, wslot, grows, id_row, abs_rows):
+    """Store one chunk's per-isect grad rows in the gbuf layout.
+
+    f32 layout: [grows..., id, absx, absy]; bf16-packed layout:
+    [pack(g0,g1), ..., id, pack(absx,absy)] (see V2Cfg.grad_dtype)."""
+    gid = cfg.gidrow
+    if cfg.grad_packed:
+        r = 0
+        for i in range(0, len(grows) - 1, 2):
+            wbufs[wslot, r:r + 1, :] = _pack_pair(grows[i], grows[i + 1])
+            r += 1
+        if len(grows) % 2:
+            wbufs[wslot, r:r + 1, :] = _pack_pair(
+                grows[-1], jnp.zeros_like(grows[-1])
+            )
+            r += 1
+        wbufs[wslot, gid:gid + 1, :] = id_row
+        if abs_rows:
+            wbufs[wslot, gid + 1:gid + 2, :] = _pack_pair(*abs_rows)
+    else:
+        for i, gr in enumerate(grows):
+            wbufs[wslot, i:i + 1, :] = gr
+        wbufs[wslot, gid:gid + 1, :] = id_row
+        for j, ar in enumerate(abs_rows):
+            wbufs[wslot, gid + 1 + j:gid + 2 + j, :] = ar
+
+
 def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
                 vt_ref, gbuf_in, gbuf_hbm, wbufs, bufs, sems, wsems, wflag):
     del gbuf_in  # aliased with gbuf_hbm (prefilled id row)
@@ -881,48 +951,50 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
                 sxx = xl * xl * m0 - 2.0 * xl * mx_ + mxx
                 sxy = xl * yl * m0 - xl * my_ - yl * mx_ + mxy
                 syy = yl * yl * m0 - 2.0 * yl * my_ + myy
-                wbufs[wslot, 0:1, :] = pr["ca"] * sx + pr["cb"] * sy
-                wbufs[wslot, 1:2, :] = pr["cc"] * sy + pr["cb"] * sx
-                wbufs[wslot, 2:3, :] = 0.5 * sxx
-                wbufs[wslot, 3:4, :] = sxy
-                wbufs[wslot, 4:5, :] = 0.5 * syy
+                grows = [
+                    pr["ca"] * sx + pr["cb"] * sy,
+                    pr["cc"] * sy + pr["cb"] * sx,
+                    0.5 * sxx,
+                    sxy,
+                    0.5 * syy,
+                ]
                 msum = m0
             else:
-                wbufs[wslot, 0:1, :] = rsum(
-                    v_sig * (pr["ca"] * dx + pr["cb"] * dy)
-                )
-                wbufs[wslot, 1:2, :] = rsum(
-                    v_sig * (pr["cc"] * dy + pr["cb"] * dx)
-                )
-                wbufs[wslot, 2:3, :] = rsum(v_sig * 0.5 * dx * dx)
-                wbufs[wslot, 3:4, :] = rsum(v_sig * dx * dy)
-                wbufs[wslot, 4:5, :] = rsum(v_sig * 0.5 * dy * dy)
+                grows = [
+                    rsum(v_sig * (pr["ca"] * dx + pr["cb"] * dy)),
+                    rsum(v_sig * (pr["cc"] * dy + pr["cb"] * dx)),
+                    rsum(v_sig * 0.5 * dx * dx),
+                    rsum(v_sig * dx * dy),
+                    rsum(v_sig * 0.5 * dy * dy),
+                ]
                 msum = rsum(v_sig)
             # v_opacity row: alpha == op*exp(-sigma) exactly wherever
             # dvalid=1, so sum(v_alpha*exp(-sigma)*dvalid) = -sum(v_sig)/op
             # (saves a second exp evaluation)
-            wbufs[wslot, 5:6, :] = jnp.where(
+            grows.append(jnp.where(
                 pr["op"] > 0.0,
                 -msum / jnp.where(pr["op"] > 0.0, pr["op"], 1.0),
                 0.0,
-            )
+            ))
             # v_color[ch, k] = sum_p w[p, k] * v_c[p, ch]
-            wbufs[wslot, 6:6 + CH, :] = jax.lax.dot_general(
+            vcol = jax.lax.dot_general(
                 v_c, w, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            wbufs[wslot, idrow:idrow + 1, :] = jnp.where(
+            grows += [vcol[i:i + 1, :] for i in range(CH)]
+            id_row = jnp.where(
                 pr["inr"], chunk[idrow:idrow + 1, :], PAD_ID
             )
             if cfg.absgrad:
                 # |per-PIXEL xy contribution| summed over pixels
                 # (bwd.cu:232-234 takes abs before the warp reduction)
-                wbufs[wslot, idrow + 1:idrow + 2, :] = rsum(
-                    jnp.abs(v_sig * (pr["ca"] * dx + pr["cb"] * dy))
-                )
-                wbufs[wslot, idrow + 2:idrow + 3, :] = rsum(
-                    jnp.abs(v_sig * (pr["cc"] * dy + pr["cb"] * dx))
-                )
+                abs_rows = [
+                    rsum(jnp.abs(v_sig * (pr["ca"] * dx + pr["cb"] * dy))),
+                    rsum(jnp.abs(v_sig * (pr["cc"] * dy + pr["cb"] * dx))),
+                ]
+            else:
+                abs_rows = []
+            _write_grad_rows(cfg, wbufs, wslot, grows, id_row, abs_rows)
             slot = slot0 + (c - c0)
             pltpu.make_async_copy(
                 wb, gbuf_hbm.at[:, pl.ds(slot * K, K)], wsems.at[wslot]
@@ -974,11 +1046,13 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
             ids = bufs[NBUF * g + rs, idrow:idrow + 1, :]
             wslot = NBUF * g + rs
             wait_write(wslot)
-            wbufs[wslot, 0:idrow, :] = jnp.zeros((idrow, K), jnp.float32)
-            wbufs[wslot, idrow:idrow + 1, :] = jnp.where(inr, ids, PAD_ID)
+            gid = cfg.gidrow
+            wbufs[wslot, 0:gid, :] = jnp.zeros((gid, K), jnp.float32)
+            wbufs[wslot, gid:gid + 1, :] = jnp.where(inr, ids, PAD_ID)
             if cfg.absgrad:
-                wbufs[wslot, idrow + 1:idrow + 3, :] = jnp.zeros(
-                    (2, K), jnp.float32
+                nab = 1 if cfg.grad_packed else 2
+                wbufs[wslot, gid + 1:gid + 1 + nab, :] = jnp.zeros(
+                    (nab, K), jnp.float32
                 )
             slot = slot0 + (c - c0)
             pltpu.make_async_copy(
@@ -1052,7 +1126,8 @@ SEG_G = 8  # id blocks (128 compacted ids each) per grid step
 SEG_NBUF = 2  # fetch ring depth per id block
 
 
-def _segsum_kernel(d, idrow_, bounds_ref, s_hbm, out_ref, bufs, sems):
+def _segsum_kernel(d, idrow_, packed_pairs, bounds_ref, s_hbm, out_ref, bufs,
+                   sems):
     G, SC, NB = SEG_G, SEG_SC, SEG_NBUF
     step = pl.program_id(0)
 
@@ -1102,20 +1177,43 @@ def _segsum_kernel(d, idrow_, bounds_ref, s_hbm, out_ref, bufs, sems):
             # blocks (and PAD_ID rows) compare to zero columns, so no
             # range masking is needed — coverage of [lo, hi) suffices.
             ohT = (jf == ids).astype(jnp.bfloat16)  # (128, SC)
-            # bit-exact f32 accumulation: 3-way bf16 mantissa split (the
-            # one-hot factor is exact in bf16; same proof as the expansion)
-            w1 = sc.astype(jnp.bfloat16)
-            r1 = sc - w1.astype(jnp.float32)
-            w2 = r1.astype(jnp.bfloat16)
-            w3 = (r1 - w2.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc = acc + (
-                jax.lax.dot_general(w1, ohT, dn,
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(w2, ohT, dn,
-                                      preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(w3, ohT, dn,
-                                      preferred_element_type=jnp.float32)
-            )  # (d, 128)
+            if packed_pairs:
+                # each row packs two trunc-bf16 halves -> both halves are
+                # EXACT under a bf16 cast: two plain bf16 matmuls, no split
+                up = jax.lax.bitcast_convert_type(sc, jnp.uint32)
+                ah = jax.lax.bitcast_convert_type(
+                    up & jnp.uint32(0xFFFF0000), jnp.float32
+                ).astype(jnp.bfloat16)
+                bh = jax.lax.bitcast_convert_type(
+                    up << 16, jnp.float32
+                ).astype(jnp.bfloat16)
+                acc = jnp.concatenate(
+                    [
+                        acc[:d] + jax.lax.dot_general(
+                            ah, ohT, dn,
+                            preferred_element_type=jnp.float32),
+                        acc[d:] + jax.lax.dot_general(
+                            bh, ohT, dn,
+                            preferred_element_type=jnp.float32),
+                    ],
+                    axis=0,
+                )
+            else:
+                # bit-exact f32 accumulation: 3-way bf16 mantissa split
+                # (the one-hot factor is exact in bf16; same proof as the
+                # expansion)
+                w1 = sc.astype(jnp.bfloat16)
+                r1 = sc - w1.astype(jnp.float32)
+                w2 = r1.astype(jnp.bfloat16)
+                w3 = (r1 - w2.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc = acc + (
+                    jax.lax.dot_general(w1, ohT, dn,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(w2, ohT, dn,
+                                          preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(w3, ohT, dn,
+                                          preferred_element_type=jnp.float32)
+                )  # (d, 128)
 
             @pl.when(c + NB < c1)
             def _():
@@ -1123,24 +1221,28 @@ def _segsum_kernel(d, idrow_, bounds_ref, s_hbm, out_ref, bufs, sems):
 
             return c + 1, acc
 
+        d_out = 2 * d if packed_pairs else d
         _, acc = jax.lax.while_loop(
-            cond, body, (c0, jnp.zeros((d, 128), jnp.float32))
+            cond, body, (c0, jnp.zeros((d_out, 128), jnp.float32))
         )
         out_ref[:, g * 128:(g + 1) * 128] = acc
 
 
-def segsum_rows(packed, bounds, idrow, n_blocks, interpret):
+def segsum_rows(packed, bounds, idrow, n_blocks, interpret,
+                packed_pairs=False):
     """Per-128-id-block segment sums of id-sorted rows, on the MXU.
 
     ``packed``: [d, L] attr-major id-sorted rows with the compacted id at
     row ``idrow`` (PAD_ID for padding rows). ``bounds``: int32
     [n_steps*SEG_G + 1] row bounds per id block (block b's rows live in
     [bounds[b], bounds[b+1]), known from the build's cum_i32). Returns
-    [d, n_steps*SEG_G*128] block-summed columns in compacted-id order.
-    Replaces the CUDA backward's atomicAdd scatter
-    (rasterize_to_pixels_bwd.cu:243-274) with a deterministic streaming
-    one-hot contraction."""
+    [d, n_steps*SEG_G*128] block-summed columns in compacted-id order —
+    or [2d, ...] when ``packed_pairs`` (rows hold bf16 pairs; output rows
+    [0:d] sum the high halves, [d:2d] the low halves). Replaces the CUDA
+    backward's atomicAdd scatter (rasterize_to_pixels_bwd.cu:243-274)
+    with a deterministic streaming one-hot contraction."""
     d, L = packed.shape
+    d_out = 2 * d if packed_pairs else d
     G = SEG_G
     steps = -(-n_blocks // G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1148,7 +1250,7 @@ def segsum_rows(packed, bounds, idrow, n_blocks, interpret):
         grid=(steps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (d, G * 128), lambda i, b: (0, i), memory_space=pltpu.VMEM
+            (d_out, G * 128), lambda i, b: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((G * SEG_NBUF, d, SEG_SC), jnp.float32),
@@ -1156,9 +1258,11 @@ def segsum_rows(packed, bounds, idrow, n_blocks, interpret):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_segsum_kernel, d, idrow),
+        functools.partial(_segsum_kernel, d, idrow, packed_pairs),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((d, steps * G * 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (d_out, steps * G * 128), jnp.float32
+        ),
         interpret=interpret,
     )(bounds, packed)
 
@@ -1218,19 +1322,29 @@ def _reduce_grads(cfg: V2Cfg, gbuf, aux):
     the original id restores input order."""
     M = cfg.C * cfg.n
     na = cfg.n_attr_eff
-    idrow = cfg.idrow
+    gid = cfg.gidrow
     nval = na + (2 if cfg.absgrad else 0)
     L = gbuf.shape[1]
     assert L >= M, "isect capacity too small for the reduction layout"
 
-    cols = unpack_rows(gbuf, idrow + 1 + (2 if cfg.absgrad else 0),
-                       cfg.interpret)
-    ids = cols[idrow]
-    vals = cols[:idrow] + (cols[idrow + 1:] if cfg.absgrad else [])
+    n_vrows = gid + (1 if (cfg.grad_packed and cfg.absgrad) else
+                     (2 if cfg.absgrad else 0))
+    cols = unpack_rows(gbuf, n_vrows + 1, cfg.interpret)
+    ids = cols[gid]
+    vals = cols[:gid] + cols[gid + 1:]
 
+    if cfg.grad_packed:
+        # payloads carry packed bit patterns: ride the sort as int32 so
+        # no float canonicalization can touch them
+        vals = [jax.lax.bitcast_convert_type(v, jnp.int32) for v in vals]
     so = jax.lax.sort((ids,) + tuple(vals), num_keys=1, is_stable=False)
+    vals_s = list(so[1:])
+    if cfg.grad_packed:
+        vals_s = [
+            jax.lax.bitcast_convert_type(v, jnp.float32) for v in vals_s
+        ]
     # restore the gbuf row layout (vals..., id, abs...) for the kernel
-    rows = list(so[1:1 + na]) + [so[0]] + list(so[1 + na:])
+    rows = vals_s[:gid] + [so[0]] + vals_s[gid:]
     packed = pack_rows(rows, cfg.d_g, cfg.interpret)
 
     # per-128-id-block row bounds from the build
@@ -1244,11 +1358,25 @@ def _reduce_grads(cfg: V2Cfg, gbuf, aux):
         [jnp.zeros((1,), jnp.int32), bnd.astype(jnp.int32)]
     )
 
-    seg = segsum_rows(packed, bounds, idrow, nblk, cfg.interpret)
-    segrows = unpack_rows(seg, idrow + 1 + (2 if cfg.absgrad else 0),
-                          cfg.interpret)
-    segvals = segrows[:na] + (segrows[idrow + 1:] if cfg.absgrad else [])
-    segvals = [v[:M] for v in segvals]
+    seg = segsum_rows(packed, bounds, gid, nblk, cfg.interpret,
+                      packed_pairs=cfg.grad_packed)
+    if cfg.grad_packed:
+        # seg rows [0:d_g] are high-half sums (even values), [d_g:2*d_g]
+        # low-half sums (odd values); value i -> row (i%2)*d_g + i//2
+        segrows = unpack_rows(seg, 2 * cfg.d_g, cfg.interpret)
+
+        def val_row(i):
+            pair, half = divmod(i, 2)
+            return segrows[(cfg.d_g if half else 0) + pair]
+
+        segvals = [val_row(i)[:M] for i in range(na)]
+        if cfg.absgrad:
+            ar = gid + 1
+            segvals += [segrows[ar][:M], segrows[cfg.d_g + ar][:M]]
+    else:
+        segrows = unpack_rows(seg, n_vrows + 1, cfg.interpret)
+        segvals = segrows[:na] + (segrows[gid + 1:] if cfg.absgrad else [])
+        segvals = [v[:M] for v in segvals]
 
     # back to original order
     so3 = jax.lax.sort(
@@ -1330,9 +1458,8 @@ def _raster_core_bwd(cfg, res, cot):
             [slot_base, jnp.broadcast_to(slot_base[-1:], (slot_pad,))]
         )
 
-    idrow = 6 + CH
     gbuf_init = jnp.zeros((cfg.d_g, cfg.slot_cap * K), jnp.float32)
-    gbuf_init = gbuf_init.at[idrow].set(PAD_ID)
+    gbuf_init = gbuf_init.at[cfg.gidrow].set(PAD_ID)
 
     pad_tiles = cfg.n_steps * cfg.tiles_per_step - cfg.n_tiles
     padt = lambda x: jnp.concatenate(
@@ -1387,6 +1514,7 @@ def rasterize_to_pixels_v2(
     interpret: Optional[bool] = None,
     absgrad_probe: Optional[jnp.ndarray] = None,  # [C, N, 2] zeros
     cutoff_mode: str = "exact",
+    grad_dtype: str = "bf16",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Differentiable fused binning + tile rasterization.
 
@@ -1407,7 +1535,7 @@ def rasterize_to_pixels_v2(
         C=C, tile_width=TW, tile_height=TH, tile_size=tile_size,
         channels=CH, cap=cap, n=N, tiles_per_step=tiles_per_step,
         interpret=interpret, absgrad=absgrad_probe is not None,
-        cutoff=cutoff_mode,
+        cutoff=cutoff_mode, grad_dtype=grad_dtype,
     )
     if masks is not None:
         masks_arr = masks.reshape(C * TH * TW).astype(jnp.int32)

@@ -37,8 +37,7 @@ from jax import shard_map
 from gscodec_studio_tpu.models.splats import splat_activations
 from gscodec_studio_tpu.ops.projection import fully_fused_projection
 from gscodec_studio_tpu.ops.sh import spherical_harmonics
-from gscodec_studio_tpu.ops.isect import isect_tiles
-from gscodec_studio_tpu.ops.rasterize_pallas import rasterize_to_pixels
+from gscodec_studio_tpu.ops.raster_v2 import rasterize_to_pixels_v2
 from gscodec_studio_tpu.training.losses import combined_loss
 
 AXIS = "gs"
@@ -148,6 +147,8 @@ def rasterize_sharded(
     tile_size: int = 16,
     backgrounds=None,
     exchange_cap: Optional[int] = None,
+    cutoff_mode: str = "exact",
+    grad_dtype: str = "bf16",
 ):
     """Inside-shard_map distributed rasterization. Returns this device's
     ([C/G, H, W, 3] renders, alphas, diagnostics). Cameras are split
@@ -182,17 +183,116 @@ def rasterize_sharded(
                 "sent_rows": jnp.int32(radii.size),
                 "dense_rows": jnp.int32(radii.size)}
 
-    tile_width = -(-width // tile_size)
-    tile_height = -(-height // tile_size)
-    isect = isect_tiles(
-        ex["means2d"], ex["radii"], ex["depths"], tile_size, tile_width,
-        tile_height, isect_capacity,
-    )
-    img, alp = rasterize_to_pixels(
-        ex["means2d"], ex["conics"], ex["colors"], ex["opacities"], isect,
-        None, width, height, tile_size, backgrounds,
+    # Per-device rasterization runs the PRODUCTION fused v2 pipeline (the
+    # same kernels the single-chip trainer ships), not a side backend.
+    img, alp, _ = rasterize_to_pixels_v2(
+        ex["means2d"], ex["conics"], ex["colors"], ex["opacities"],
+        ex["depths"], ex["radii"], width, height, tile_size=tile_size,
+        isect_capacity=isect_capacity, backgrounds=backgrounds,
+        cutoff_mode=cutoff_mode, grad_dtype=grad_dtype,
     )
     return img, alp, diag
+
+
+def sharded_rasterization(
+    means,  # [Nl, 3] local gaussian shard
+    quats,
+    scales,
+    opacities,  # [Nl]
+    colors,  # [Nl, K, 3] SH coeffs (sh_degree given) or [C, Nl, ch]
+    viewmats,  # [C, 4, 4] ALL cameras (replicated; C divisible by G)
+    Ks,
+    width: int,
+    height: int,
+    sh_degree: Optional[int],
+    isect_capacity: int,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    tile_size: int = 16,
+    backgrounds=None,  # [C, ch] replicated
+    means2d_probe=None,  # [C, Nl, 2] zeros (grad probe)
+    absgrad_probe=None,  # [C, Nl, 2] zeros
+    exchange_cap: Optional[int] = None,
+    antialiased: bool = False,
+    cutoff_mode: str = "soft",
+    grad_dtype: str = "bf16",
+):
+    """Trainer-grade inside-shard_map rasterization on the fused v2 backend.
+
+    Projects the LOCAL gaussian shard for ALL C cameras, exchanges
+    projected attributes camera-major -> gaussian-major (dense or
+    visibility-bucketed), rasterizes this device's C/G cameras, and
+    returns ([C/G, H, W, ch], alphas, meta). ``meta`` carries the
+    LOCAL-shard per-gaussian fields the densification strategies consume
+    (radii [C, Nl], width/height/n_cameras) plus exchange diagnostics.
+    Gradients — including the means2d/absgrad probes' — flow back through
+    the differentiable all_to_all to the local shard (reference semantics:
+    gsplat/rendering.py:397-478 + distributed.py:170-257)."""
+    C = viewmats.shape[0]
+    Nl = means.shape[0]
+
+    radii, means2d, depths, conics, comps = fully_fused_projection(
+        means, None, quats, scales, viewmats, Ks, width, height,
+        near_plane=near_plane, far_plane=far_plane,
+        calc_compensations=antialiased,
+    )
+    radii = jnp.where(opacities[None, :] >= 1.0 / 255.0, radii, 0)
+    opac_cn = jnp.broadcast_to(opacities[None, :], (C, Nl))
+    if antialiased:
+        opac_cn = opac_cn * comps
+    if means2d_probe is not None:
+        means2d = means2d + means2d_probe
+
+    if sh_degree is not None:
+        campos = -jnp.einsum(
+            "cij,ci->cj", viewmats[:, :3, :3], viewmats[:, :3, 3]
+        )
+        dirs = means[None, :, :] - campos[:, None, :]
+        cols = spherical_harmonics(
+            sh_degree, dirs,
+            jnp.broadcast_to(colors[None], (C,) + colors.shape),
+            masks=radii > 0,
+        )
+        cols = jnp.clip(cols + 0.5, 0.0, None)
+    else:
+        cols = colors
+
+    tree = dict(means2d=means2d, depths=depths, conics=conics,
+                colors=cols, opacities=opac_cn)
+    if absgrad_probe is not None:
+        tree["ag"] = absgrad_probe
+    if exchange_cap is not None:
+        ex, radii_ex, diag = _exchange_bucketed(tree, radii, exchange_cap)
+        ex["radii"] = radii_ex
+    else:
+        ex = _exchange(dict(tree, radii=radii))
+        diag = {"overflow": jnp.int32(0),
+                "sent_rows": jnp.int32(radii.size),
+                "dense_rows": jnp.int32(radii.size)}
+
+    G = jax.lax.axis_size(AXIS)
+    Cl = C // G
+    bg_l = None
+    if backgrounds is not None:
+        gi = jax.lax.axis_index(AXIS)
+        bg_l = jax.lax.dynamic_slice_in_dim(backgrounds, gi * Cl, Cl, 0)
+    img, alp, vmeta = rasterize_to_pixels_v2(
+        ex["means2d"], ex["conics"], ex["colors"], ex["opacities"],
+        ex["depths"], ex["radii"], width, height, tile_size=tile_size,
+        isect_capacity=isect_capacity, backgrounds=bg_l,
+        absgrad_probe=ex.get("ag"), cutoff_mode=cutoff_mode,
+        grad_dtype=grad_dtype,
+    )
+    meta = dict(
+        radii=radii, width=width, height=height, n_cameras=C,
+        n_isects=jax.lax.pmax(
+            jax.lax.stop_gradient(vmeta["n_isects"]), AXIS
+        ),
+        exchange_overflow=diag["overflow"],
+        exchange_sent_rows=diag["sent_rows"],
+        exchange_dense_rows=diag["dense_rows"],
+    )
+    return img, alp, meta
 
 
 def distributed_render(

@@ -115,6 +115,16 @@ class Config:
     # run exact.
     cutoff_mode: str = "soft"
 
+    # Multi-chip training: shard the gaussians over a 1-D device mesh and
+    # run the train step under shard_map with the fused v2 backend per
+    # device (parallel/distributed.py). batch_size and the capacity must be
+    # divisible by mesh_devices. exchange_cap switches the dense projected-
+    # attribute all_to_all to the fixed-capacity visibility-bucketed one
+    # (per-destination cap; overflow is dropped and counted in the step
+    # diagnostics). 0 = single-device (default).
+    mesh_devices: int = 0
+    exchange_cap: Optional[int] = None
+
     # Compression simulation (training-time; compression_sim/)
     compression_sim: bool = False
     rd_lambda: float = 0.01
@@ -186,6 +196,26 @@ class Runner:
             cap = cfg.capacity or 4 * n_init
             self.strategy = DefaultStrategy()
         cap = max(cap, n_init)
+
+        self.mesh = None
+        if cfg.mesh_devices and cfg.mesh_devices > 1:
+            from gscodec_studio_tpu.parallel.distributed import make_mesh
+
+            G = cfg.mesh_devices
+            if cfg.batch_size % G:
+                raise ValueError(
+                    "batch_size must be divisible by mesh_devices"
+                )
+            for feat, on in (("pose_opt", cfg.pose_opt),
+                             ("app_opt", cfg.app_opt),
+                             ("use_bilateral_grid", cfg.use_bilateral_grid),
+                             ("depth_loss", cfg.depth_loss)):
+                if on:
+                    raise NotImplementedError(
+                        f"{feat} is not supported with mesh_devices > 1"
+                    )
+            cap = -(-cap // G) * G  # gaussian shards must be equal
+            self.mesh = make_mesh(G)
 
         self.splats = create_splats(
             points, rgbs, cap=cap, sh_degree=cfg.sh_degree,
@@ -300,6 +330,7 @@ class Runner:
         isect_capacity = self._isect_capacity()
         strategy = self.strategy
         sim = self.compression_sim
+        is_mesh = self.mesh is not None
 
         aux_txs = self.aux_txs
         scene_scale = self.scene_scale
@@ -314,6 +345,12 @@ class Runner:
             Ks = batch["K"]  # [B, 3, 3]
             target = batch["image"]  # [B, H, W, 3]
             B = target.shape[0]
+            if is_mesh:
+                # decorrelate per-shard noise (sim dither, MCMC position
+                # noise) across gaussian shards
+                from gscodec_studio_tpu.parallel.distributed import AXIS
+
+                key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
             key, kb, ksim = jax.random.split(key, 3)
 
             use_absgrad = (
@@ -363,22 +400,46 @@ class Runner:
                     if cfg.random_bkgd
                     else None
                 )
-                img, alpha, meta = rasterization(
-                    means, quats, scales, opac, colors,
-                    viewmats, Ks, width, height,
-                    near_plane=cfg.near_plane, far_plane=cfg.far_plane,
-                    sh_degree=sh_for_raster,
-                    backgrounds=bkgd,
-                    rasterize_mode=(
-                        "antialiased" if cfg.antialiased else "classic"
-                    ),
-                    render_mode="RGB+ED" if cfg.depth_loss else "RGB",
-                    isect_capacity=isect_capacity,
-                    means2d_probe=probe,
-                    absgrad_probe=ag_probe if use_absgrad else None,
-                    rasterizer=cfg.rasterizer,
-                    cutoff_mode=cfg.cutoff_mode,
-                )
+                if is_mesh:
+                    from gscodec_studio_tpu.parallel.distributed import (
+                        AXIS, sharded_rasterization,
+                    )
+
+                    img, alpha, meta = sharded_rasterization(
+                        means, quats, scales, opac, colors, viewmats, Ks,
+                        width, height, sh_for_raster, isect_capacity,
+                        near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+                        backgrounds=bkgd, means2d_probe=probe,
+                        absgrad_probe=ag_probe if use_absgrad else None,
+                        exchange_cap=cfg.exchange_cap,
+                        antialiased=cfg.antialiased,
+                        cutoff_mode=cfg.cutoff_mode,
+                    )
+                    # this device renders/supervises B/G of the cameras
+                    Gd = jax.lax.axis_size(AXIS)
+                    gi = jax.lax.axis_index(AXIS)
+                    Bl = B // Gd
+                    target_l = jax.lax.dynamic_slice_in_dim(
+                        target, gi * Bl, Bl, 0
+                    )
+                else:
+                    img, alpha, meta = rasterization(
+                        means, quats, scales, opac, colors,
+                        viewmats, Ks, width, height,
+                        near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+                        sh_degree=sh_for_raster,
+                        backgrounds=bkgd,
+                        rasterize_mode=(
+                            "antialiased" if cfg.antialiased else "classic"
+                        ),
+                        render_mode="RGB+ED" if cfg.depth_loss else "RGB",
+                        isect_capacity=isect_capacity,
+                        means2d_probe=probe,
+                        absgrad_probe=ag_probe if use_absgrad else None,
+                        rasterizer=cfg.rasterizer,
+                        cutoff_mode=cfg.cutoff_mode,
+                    )
+                    target_l = target
                 depth_map = None
                 if cfg.depth_loss:
                     img, depth_map = img[..., :3], img[..., 3:4]
@@ -390,7 +451,7 @@ class Runner:
                     img = jax.vmap(
                         bilagrid_slice, in_axes=(None, 0, 0)
                     )(aux_params["bilagrid"], idx, img)
-                loss = combined_loss(img, target, cfg.ssim_lambda)
+                loss = combined_loss(img, target_l, cfg.ssim_lambda)
                 if cfg.depth_loss:
                     # disparity-space L1 at projected SfM track pixels
                     # (simple_trainer.py:954-967; zero-padded tracks are
@@ -413,14 +474,30 @@ class Runner:
                     loss += cfg.scale_reg * jnp.mean(jnp.abs(scales))
                 if sim is not None:
                     loss += cfg.rd_lambda * esti_bits_total + aux_losses
+                if is_mesh:
+                    # image term: mean over this device's cameras; reg/bit
+                    # terms: per-shard means — equal shard sizes make the
+                    # pmean the exact global mean for both
+                    from gscodec_studio_tpu.parallel.distributed import AXIS
+
+                    loss = jax.lax.pmean(loss, AXIS)
                 return loss, (img, meta)
 
-            probe = jnp.zeros((B, cap, 2), jnp.float32)
-            ag_probe = jnp.zeros((B, cap, 2), jnp.float32)
+            cap_l = params["means"].shape[0]  # local shard size under mesh
+            probe = jnp.zeros((B, cap_l, 2), jnp.float32)
+            ag_probe = jnp.zeros((B, cap_l, 2), jnp.float32)
             (loss, (img, meta)), grads = jax.value_and_grad(
                 loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
             )(params, sim_params, aux_params, probe, ag_probe)
             param_grads, sim_grads, aux_grads, v_means2d, v_absgrad = grads
+            if is_mesh and sim is not None:
+                # entropy-model/mask params are replicated; their grads are
+                # per-shard partials
+                from gscodec_studio_tpu.parallel.distributed import AXIS
+
+                sim_grads = jax.tree_util.tree_map(
+                    lambda gr: jax.lax.psum(gr, AXIS), sim_grads
+                )
 
             if aux_txs:
                 import optax
@@ -492,6 +569,39 @@ class Runner:
             )
             return (params, opt_states, strat_state, sim_bundle, aux_bundle,
                     losses, jnp.max(n_isects))
+
+        if is_mesh:
+            # Gaussian-sharded multi-chip step: per-gaussian leaves (params,
+            # optimizer moments, strategy stats) shard over the mesh axis;
+            # everything else replicates. jit re-shards inputs on first call.
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+
+            from gscodec_studio_tpu.parallel.distributed import AXIS
+
+            def leaf_spec(tree):
+                return jax.tree_util.tree_map(
+                    lambda x: P(AXIS)
+                    if getattr(x, "ndim", 0) >= 1 and x.shape[0] == cap
+                    else P(),
+                    tree,
+                )
+
+            sharded = shard_map(
+                train_chunk,
+                mesh=self.mesh,
+                in_specs=(
+                    leaf_spec(self.splats), leaf_spec(self.opt_states),
+                    leaf_spec(self.strategy_state), P(), P(), P(), P(),
+                    P(), P(), P(),
+                ),
+                out_specs=(
+                    leaf_spec(self.splats), leaf_spec(self.opt_states),
+                    leaf_spec(self.strategy_state), P(), P(), P(), P(),
+                ),
+                check_vma=False,
+            )
+            return jax.jit(sharded, donate_argnums=(0, 1))
 
         return jax.jit(train_chunk, donate_argnums=(0, 1))
 
@@ -727,11 +837,19 @@ class Runner:
             cache[key] = render
         return cache[key]
 
+    def _eval_splats(self):
+        """Splats for single-device eval/render paths: mesh-sharded arrays
+        are gathered to the default device first (the eval jits are not
+        shard_mapped)."""
+        if self.mesh is None:
+            return self.splats
+        return {k: jnp.asarray(np.asarray(v)) for k, v in self.splats.items()}
+
     def render_view(self, camtoworld, K, width, height, sh_degree=None):
         sh = self.cfg.sh_degree if sh_degree is None else sh_degree
         fn = self._render_fn(width, height, sh)
         viewmat = jnp.linalg.inv(jnp.asarray(camtoworld))
-        return fn(self.splats, self.aux_params, viewmat, jnp.asarray(K))
+        return fn(self._eval_splats(), self.aux_params, viewmat, jnp.asarray(K))
 
     def eval(self, stage: str = "val") -> Dict[str, float]:
         """PSNR/SSIM over the val set. Metrics are computed on device in
@@ -770,7 +888,7 @@ class Runner:
                 fns[(h, w)] = eval_fn
             viewmat = jnp.linalg.inv(jnp.asarray(data["camtoworld"]))
             vals = fns[(h, w)](
-                self.splats, self.aux_params, viewmat,
+                self._eval_splats(), self.aux_params, viewmat,
                 jnp.asarray(data["K"]), jnp.asarray(data["image"]),
             )
             metrics["psnr"].append(float(vals[0]))
@@ -786,7 +904,7 @@ class Runner:
                 os.makedirs(rdir, exist_ok=True)
                 rf = self._render_fn(w, h, self.cfg.sh_degree)
                 img = np.asarray(
-                    rf(self.splats, self.aux_params, viewmat,
+                    rf(self._eval_splats(), self.aux_params, viewmat,
                        jnp.asarray(data["K"]))
                 )
                 pair = np.concatenate([img, data["image"]], axis=1)

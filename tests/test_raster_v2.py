@@ -43,7 +43,11 @@ def test_v2_forward_matches_oracle(rng, C, CH):
     np.testing.assert_allclose(alp, alp_ref, rtol=1e-3, atol=1e-4)
 
 
-def test_v2_backward_matches_oracle(rng):
+@pytest.mark.parametrize("grad_dtype,atol", [("f32", 5e-3), ("bf16", 1.5e-2)])
+def test_v2_backward_matches_oracle(rng, grad_dtype, atol):
+    # f32 grad rows must stay tight vs the oracle; the production bf16
+    # packed rows (V2Cfg.grad_dtype) add ~4e-3 relative noise per
+    # per-isect contribution (truncated-bf16 pair packing).
     C, W, H, CH = 1, 48, 32, 3
     means2d, conics, colors, opacities, depths, radii, bg = make_2d_scene(
         rng, C=C, N=150, W=W, H=H, CH=CH
@@ -58,6 +62,7 @@ def test_v2_backward_matches_oracle(rng):
         img, alp, _ = rasterize_to_pixels_v2(
             means2d, conics, colors, opacities, depths, radii, W, H,
             tile_size=16, isect_capacity=8192, backgrounds=bg,
+            grad_dtype=grad_dtype,
         )
         return jnp.sum((img - tgt) ** 2) + 0.3 * jnp.sum(alp**2)
 
@@ -77,7 +82,7 @@ def test_v2_backward_matches_oracle(rng):
         assert np.all(np.isfinite(a)), name
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(
-            a / scale, b / scale, rtol=0, atol=5e-3, err_msg=name
+            a / scale, b / scale, rtol=0, atol=atol, err_msg=name
         )
 
 

@@ -117,3 +117,36 @@ def test_training_improves_psnr(rng, strategy):
     after = runner.eval("after")["psnr"]
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
     assert after > before + 1.0, (before, after)
+
+
+def test_training_mesh_sharded(rng):
+    """8-device CPU-mesh training: gaussian-sharded shard_map step on the
+    fused v2 backend with the bucketed visibility exchange. Asserts the
+    loss optimizes and params stay finite across refine boundaries."""
+    parser = FakeParser(rng, n_views=9, width=64, height=48)
+    cfg = Config(
+        result_dir="/tmp/gsc_test_mesh",
+        max_steps=40,
+        batch_size=8,
+        sh_degree=0,
+        sh_degree_interval=1,
+        strategy="mcmc",
+        mcmc_cap_max=256,
+        isect_capacity=8192,
+        steps_per_dispatch=10,
+        mesh_devices=8,
+        exchange_cap=64,
+        cutoff_mode="exact",
+    )
+    runner = Runner(
+        cfg,
+        parser=parser,
+        trainset=FakeDataset(parser, "train"),
+        valset=FakeDataset(parser, "val"),
+    )
+    assert runner.splats["means"].shape[0] % 8 == 0
+    losses = runner.train(log_every=0)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    after = runner.eval("mesh_after")["psnr"]
+    assert np.isfinite(after)
