@@ -230,9 +230,13 @@ def _supports_mosaic() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _pick_blk(L: int) -> int:
+def _pick_blk(L: int, rows: int = 32) -> int:
+    # keep (rows x blk f32, double-buffered) within the ~16MB scoped-vmem
+    # budget: at 2DGS widths (24 out rows + 20 inputs) a 64K-lane block
+    # compiles over the limit
+    budget = (10 << 20) // (8 * max(rows, 1))
     for blk in (1 << 16, 1 << 14, 1 << 12, 1 << 10, 256, 128):
-        if L % blk == 0:
+        if L % blk == 0 and blk <= budget:
             return blk
     return L
 
@@ -250,7 +254,7 @@ def pack_rows(arrays, R: int, interpret: bool) -> jnp.ndarray:
     """[L] x n (f32) -> [R, L] attr-major (rows >= n zero-filled)."""
     n = len(arrays)
     L = arrays[0].shape[0]
-    blk = _pick_blk(L)
+    blk = _pick_blk(L, n + R)
     a2 = [a.reshape(1, L) for a in arrays]
     return pl.pallas_call(
         functools.partial(_pack_kernel, n, R),
@@ -276,7 +280,7 @@ def _unpack_kernel(n_out, *refs):
 def unpack_rows(block: jnp.ndarray, n: int, interpret: bool):
     """[R, L] attr-major -> n separate [1, L] arrays (first n rows)."""
     R, L = block.shape
-    blk = _pick_blk(L)
+    blk = _pick_blk(L, R + n)
     outs = pl.pallas_call(
         functools.partial(_unpack_kernel, n),
         grid=(L // blk,),

@@ -156,18 +156,23 @@ def rasterization(
     if rasterizer == "fused":
         # Production path: fused binning + Pallas tile kernels
         # (ops/raster_v2.py) — the isect_tiles/offset_encode stages live
-        # inside the op. Channel chunking re-runs the binning per chunk;
-        # acceptable for the rare >channel_chunk case.
+        # inside the op. Unlike the reference's CUDA kernels (COLOR_DIM
+        # templates force chunking at 32, rendering.py:528-556), the v2
+        # kernel parametrizes the channel count, so wide feature renders
+        # (sandwich STG at 35ch) BIN ONCE and rasterize once; only renders
+        # beyond the VMEM-safe width fall back to the chunk loop, which
+        # re-runs the binning per chunk.
         from gscodec_studio_tpu.ops.raster_v2 import rasterize_to_pixels_v2
 
+        fused_chunk = max(channel_chunk, 128)
         chunks = []
         alphas = None
-        for lo in range(0, D, channel_chunk):
-            cols = colors_cn[..., lo : lo + channel_chunk]
+        for lo in range(0, D, fused_chunk):
+            cols = colors_cn[..., lo : lo + fused_chunk]
             bgs = (
                 None
                 if backgrounds_used is None
-                else backgrounds_used[..., lo : lo + channel_chunk]
+                else backgrounds_used[..., lo : lo + fused_chunk]
             )
             img, alphas, vmeta = rasterize_to_pixels_v2(
                 means2d, conics, cols, opacities_cn, depths, radii,

@@ -95,6 +95,11 @@ class DynRunner:
         elif cfg.strategy == "stg":
             cap = cfg.capacity or 4 * n_init
             self.strategy = STGStrategy()
+        elif cfg.strategy == "modified_stg":
+            from gscodec_studio_tpu.strategy.stg import ModifiedSTGStrategy
+
+            cap = cfg.capacity or 4 * n_init
+            self.strategy = ModifiedSTGStrategy()
         else:
             cap = cfg.capacity or 4 * n_init
             self.strategy = DefaultStrategy()
@@ -159,7 +164,7 @@ class DynRunner:
         os.makedirs(cfg.result_dir, exist_ok=True)
 
     def _render(self, params, camtoworld, K, t, width, height,
-                isect_capacity, dec_params=None):
+                isect_capacity, dec_params=None, probe=None):
         sliced, tw = slice_at_time(params, t)
         viewmat = jnp.linalg.inv(camtoworld)[None]
         campos = camtoworld[:3, 3]
@@ -181,7 +186,11 @@ class DynRunner:
             near_plane=self.cfg.near_plane, far_plane=self.cfg.far_plane,
             sh_degree=None, isect_capacity=isect_capacity,
             rasterizer=self.cfg.rasterizer,
+            means2d_probe=probe,
         )
+        # temporal visibility at this timestamp (Modified_STG's stats gate,
+        # modified_stg.py:92-102)
+        meta = dict(meta, t_vis_mask=(tw > 0.05))
         if mode == "sandwich":
             rays = get_rays(camtoworld, K, width, height)[None]
             img = sandwich_apply(dec_params, img, rays)
@@ -202,7 +211,7 @@ class DynRunner:
             sim_params, sim_opt = sim_bundle
             key, ksim = jax.random.split(key)
 
-            def loss_fn(params, dec_params, sim_params):
+            def loss_fn(params, dec_params, sim_params, probe):
                 bits = jnp.float32(0.0)
                 if sim is not None:
                     params, bits, _ = sim.simulate(
@@ -211,7 +220,7 @@ class DynRunner:
                 img, alpha, meta = self._render(
                     params, batch["camtoworld"], batch["K"],
                     batch["timestamp"], width, height, isect_capacity,
-                    dec_params,
+                    dec_params, probe=probe,
                 )
                 loss = combined_loss(
                     img, batch["image"][None], cfg.ssim_lambda
@@ -219,19 +228,26 @@ class DynRunner:
                 loss = loss + cfg.rd_lambda * bits
                 return loss, meta
 
-            argnums = (0,) + ((1,) if use_dec else ()) + (
+            probe0 = jnp.zeros((1, cap, 2), jnp.float32)
+            argnums = (0, 3) + ((1,) if use_dec else ()) + (
                 (2,) if sim is not None else ()
             )
             (loss, meta), glist = jax.value_and_grad(
                 loss_fn, argnums=argnums, has_aux=True
-            )(params, dec_params, sim_params)
+            )(params, dec_params, sim_params, probe0)
             gmap = dict(zip(argnums, glist))
             grads = gmap[0]
+            v_means2d = gmap[3]
             dec_grads = gmap.get(1)
             sim_grads = gmap.get(2)
+            # densification stats (screen-space grad norms; Modified_STG
+            # additionally gates by the temporal visibility mask)
+            strat_state = strategy.update_state(strat_state, meta, v_means2d)
             if isinstance(strategy, STGStrategy):
-                # post-refine temporal freezing (STG_Strategy.py:106-111)
-                grads = strategy.mask_gradients(params, grads, step)
+                # post-freeze omega/rotation masking (STG_Strategy.py:131-136)
+                grads = strategy.mask_gradients(
+                    params, grads, step, state=strat_state
+                )
             params, opt_states = apply_updates(
                 self.txs, opt_states, params, grads
             )

@@ -866,6 +866,14 @@ class Runner:
         lpips_w = None
         if lpips_available():
             lpips_w = load_lpips_weights()
+        elif not getattr(self, "_lpips_notice_printed", False):
+            # Be explicit about what this eval does NOT report: the image
+            # ships no pretrained AlexNet weights (zero egress), so LPIPS
+            # is skipped unless GSC_LPIPS_WEIGHTS points at a converted
+            # npz (training/lpips.py:convert_torch_lpips).
+            print("eval: lpips SKIPPED (no weights at GSC_LPIPS_WEIGHTS; "
+                  "psnr/ssim only)", flush=True)
+            self._lpips_notice_printed = True
 
         metrics = {"psnr": [], "ssim": []}
         if lpips_w is not None:

@@ -1,0 +1,80 @@
+"""2DGS fused-kernel throughput on one chip (VERDICT r2 item 4).
+
+Prints ONE JSON line {"metric": "rasterize_2dgs_fwd_bwd_throughput", ...}.
+Baseline context: the reference 2DGS CUDA kernels power 28.76 PSNR @ 30k
+(docs eval.rst:150-162); no Mpix/s figure is published for them, so
+vs_baseline reports against the same 67.6 Mpix/s 3DGS number for scale.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from gscodec_studio_tpu.ops.projection_2dgs import (
+        fully_fused_projection_2dgs,
+    )
+    from gscodec_studio_tpu.ops.raster_v2_2dgs import (
+        rasterize_to_pixels_2dgs_v2,
+    )
+    from gscodec_studio_tpu.utils.profiling import honest_timer
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", __file__.rsplit("/", 2)[0] + "/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    width, height = 1297, 840
+    cap = 5 << 20
+    means, quats, scales, opacities, colors, viewmats, Ks = bench.make_scene(
+        width=width, height=height
+    )
+    rgb = jnp.clip(colors[:, 0, :] * 0.2820947917738781 + 0.5, 0.0, 1.0)
+
+    def body(c, means, quats, scales, opacities, rgb, viewmats, Ks):
+        def loss_fn(means):
+            radii, m2d, dep, Mt, nrm = fully_fused_projection_2dgs(
+                means, quats, scales, viewmats, Ks, width, height
+            )
+            cols = jnp.concatenate(
+                [jnp.broadcast_to(rgb[None], (1,) + rgb.shape),
+                 dep[..., None]], axis=-1
+            )
+            img, alp, n_img, dist, med, _ = rasterize_to_pixels_2dgs_v2(
+                m2d, Mt, cols, jnp.broadcast_to(
+                    opacities[None], (1,) + opacities.shape
+                ), nrm, dep, radii, width, height,
+                isect_capacity=cap,
+            )
+            return (jnp.mean((img - 0.5) ** 2) + 0.1 * jnp.mean(alp)
+                    + 0.05 * jnp.mean(dist) + 0.02 * jnp.mean(n_img**2))
+
+        g = jax.grad(loss_fn)(means + c)
+        return jnp.sum(g) * 1e-20 + 1e-12
+
+    per_iter = honest_timer(
+        body, (means, quats, scales, opacities, rgb, viewmats, Ks), K=6
+    )
+    mpix_s = width * height / per_iter / 1e6
+    print(json.dumps({
+        "metric": "rasterize_2dgs_fwd_bwd_throughput",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / 67.6, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,16 +49,30 @@ def test_fused_depth_render_modes(rng, mode):
     np.testing.assert_allclose(alp_f, alp_r, rtol=1e-3, atol=1e-4)
 
 
-def test_fused_channel_chunking(rng):
-    """>channel_chunk feature channels re-run the fused binning per chunk
-    and concatenate (rendering.py channel chunking, reference :528-556)."""
+def test_fused_channel_chunking(rng, monkeypatch):
+    """Wide feature renders (sandwich STG at 35-40ch) BIN ONCE on the
+    fused path — the v2 kernel parametrizes the channel count, unlike the
+    reference's COLOR_DIM-templated CUDA that chunks at 32
+    (rendering.py:528-556). Counts the kernel invocations to prove it."""
+    from gscodec_studio_tpu.ops import raster_v2 as rv
+
+    calls = []
+    orig = rv.rasterize_to_pixels_v2
+
+    def counted(*a, **k):
+        calls.append(a[2].shape[-1])  # channel width per invocation
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rv, "rasterize_to_pixels_v2", counted)
+
     means, quats, scales, opac, viewmats, Ks, W, H = _scene(rng, N=80)
-    D = 40  # two chunks at channel_chunk=32
+    D = 40  # one call now (two chunks in the reference's scheme)
     colors = jnp.asarray(rng.random((80, D)).astype(np.float32))
     img_f, alp_f, _ = rasterization(
         means, quats, scales, opac, colors, viewmats, Ks, W, H,
         sh_degree=None, isect_capacity=8192, rasterizer="fused",
     )
+    assert calls == [D], calls  # ONE build+rasterize at D=40
     img_r, alp_r, _ = rasterization(
         means, quats, scales, opac, colors, viewmats, Ks, W, H,
         sh_degree=None, isect_capacity=8192, rasterizer="reference",

@@ -136,3 +136,60 @@ def test_selective_adam_masks_updates(splats):
     d = np.abs(np.asarray(p2["means"] - splats["means"])).sum(-1)
     assert d[:100].min() > 0
     assert np.allclose(d[100:], 0)
+
+
+def test_modified_stg_differs_from_stg():
+    """Modified_STG vs STG (reference modified_stg.py vs STG_Strategy.py):
+    (1) Modified gates densification stats by the temporal-visibility mask;
+    (2) Modified never freezes omega/rotation grads, STG does post-freeze
+    with the accumulated _zero_omegabymotion keep rule."""
+    from gscodec_studio_tpu.strategy.stg import (
+        STGStrategy, ModifiedSTGStrategy,
+    )
+
+    n = 64
+    rng = np.random.default_rng(0)
+    stg = STGStrategy()
+    mod = ModifiedSTGStrategy()
+    params = {
+        "means": jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32)),
+        "scales": jnp.asarray(
+            np.log(0.3) * np.ones((n, 3), np.float32)  # mid-scale band
+        ),
+        "opacities": jnp.full((n,), 3.0, jnp.float32),  # sigmoid ~0.95
+        "motion": jnp.zeros((n, 9), jnp.float32).at[: n // 2, 0].set(1.0),
+        "omega": jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32)),
+        "quats": jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32)),
+    }
+
+    # (1) temporal-visibility-aware stats
+    info = {
+        "width": 64, "height": 48, "n_cameras": 1,
+        "radii": jnp.full((1, n), 5, jnp.int32),
+        "t_vis_mask": jnp.arange(n) < n // 4,  # only first quarter visible
+    }
+    v = jnp.ones((1, n, 2), jnp.float32)
+    s_stg = stg.update_state(stg.initialize_state(n, 1.0), info, v)
+    s_mod = mod.update_state(mod.initialize_state(n, 1.0), info, v)
+    assert np.asarray(s_stg["count"]).sum() == n  # plain STG counts all
+    assert np.asarray(s_mod["count"]).sum() == n // 4  # Modified gates
+    assert np.asarray(s_mod["grad2d"])[n // 4 :].sum() == 0.0
+
+    # (2) omega freeze: STG masks omega grads of low-motion splats and
+    # rotation grads of kept ones after freeze_start; Modified never does
+    grads = {
+        "omega": jnp.ones((n, 4), jnp.float32),
+        "quats": jnp.ones((n, 4), jnp.float32),
+    }
+    keep = np.asarray(stg.compute_omega_mask(params))
+    assert keep[: n // 2].all() and not keep[n // 2 :].any()
+    g_stg = stg.mask_gradients(params, grads, stg.freeze_start_iter + 1)
+    g_mod = mod.mask_gradients(params, grads, stg.freeze_start_iter + 1)
+    assert np.allclose(np.asarray(g_stg["omega"])[n // 2 :], 0.0)
+    assert np.asarray(g_stg["omega"])[: n // 2].all()
+    assert np.allclose(np.asarray(g_stg["quats"])[: n // 2], 0.0)
+    assert np.asarray(g_mod["omega"]).all()
+    assert np.asarray(g_mod["quats"]).all()
+    # before the freeze boundary STG leaves everything live too
+    g_pre = stg.mask_gradients(params, grads, 100)
+    assert np.asarray(g_pre["omega"]).all()
