@@ -1,5 +1,5 @@
-"""Dynamic-splat trainer CLI on INVR (Blender-json multiview video)
-datasets — the equivalent of the reference's simple_trainer_dyngs.py /
+"""Dynamic-splat trainer CLI on INVR (Blender-json multiview video),
+Neural3D and Technicolor (per-frame-COLMAP video) — the equivalent of the reference's simple_trainer_dyngs.py /
 simple_trainer_STG.py entry points: trains temporal splats (optionally
 with the Sandwich CNN decoder + STG strategy + STG compression
 simulation), evaluates, exports per-frame .ply for the sequence codec,
@@ -19,12 +19,18 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data-dir", required=True)
+    p.add_argument("--data-type", default="invr",
+                   choices=["invr", "n3d", "technicolor"],
+                   help="invr = Blender-json multiview video; n3d / "
+                        "technicolor = per-frame-COLMAP STG layouts")
+    p.add_argument("--start-frame", type=int, default=0)
+    p.add_argument("--duration", type=int, default=50)
     p.add_argument("--result-dir", default="results/dyn")
     p.add_argument("--factor", type=int, default=2)
     p.add_argument("--max-steps", type=int, default=30_000)
     p.add_argument("--cap-max", type=int, default=200_000)
     p.add_argument("--strategy", default="mcmc",
-                   choices=["mcmc", "default", "stg"])
+                   choices=["mcmc", "default", "stg", "modified_stg"])
     p.add_argument("--color-mode", default="sandwich",
                    choices=["rgb", "linear", "sandwich"])
     p.add_argument("--compression-sim", action="store_true")
@@ -56,13 +62,31 @@ def main():
     from gscodec_studio_tpu.training.dyn_trainer import DynConfig, DynRunner
     from gscodec_studio_tpu.utils.ply import save_ply
 
-    train_parser = INVRParser(args.data_dir, "train", factor=args.factor)
-    try:
-        val_parser = INVRParser(args.data_dir, "val", factor=args.factor)
-    except FileNotFoundError:
-        val_parser = train_parser
-    trainset = INVRDataset(train_parser)
-    valset = INVRDataset(val_parser)
+    if args.data_type in ("n3d", "technicolor"):
+        from gscodec_studio_tpu.datasets.stg_readers import (
+            STGDataset, STGParser,
+        )
+
+        train_parser = STGParser(
+            args.data_dir, dataset_type=args.data_type,
+            start=args.start_frame, duration=args.duration,
+            split="train", factor=args.factor,
+        )
+        val_parser = STGParser(
+            args.data_dir, dataset_type=args.data_type,
+            start=args.start_frame, duration=args.duration,
+            split="test", factor=args.factor,
+        )
+        trainset = STGDataset(train_parser)
+        valset = STGDataset(val_parser if val_parser.views else train_parser)
+    else:
+        train_parser = INVRParser(args.data_dir, "train", factor=args.factor)
+        try:
+            val_parser = INVRParser(args.data_dir, "val", factor=args.factor)
+        except FileNotFoundError:
+            val_parser = train_parser
+        trainset = INVRDataset(train_parser)
+        valset = INVRDataset(val_parser)
 
     if train_parser.points is not None:
         points = train_parser.points
@@ -70,9 +94,10 @@ def main():
     else:
         rng = np.random.default_rng(0)
         # random-in-view init when the dataset ships no sparse cloud
-        centers = np.stack(
-            [f["camtoworld"][:3, 3] for f in train_parser.frames]
+        frames = getattr(train_parser, "frames", None) or getattr(
+            train_parser, "views"
         )
+        centers = np.stack([f["camtoworld"][:3, 3] for f in frames])
         c0 = centers.mean(axis=0)
         r = max(np.linalg.norm(centers - c0, axis=1).mean() * 2.0, 1.0)
         points = (

@@ -124,3 +124,24 @@ def test_bucketed_exchange_gradient_parity(rng):
             np.asarray(p_b[k]), np.asarray(p_d[k]), rtol=1e-4, atol=1e-5,
             err_msg=k,
         )
+
+
+def test_multihost_launcher_single_process():
+    """cli() runs the payload with (rank, world, devices) on a single
+    process and shuts down cleanly (the reference launcher contract,
+    gsplat/distributed.py:304-360)."""
+    import jax
+    from gscodec_studio_tpu.parallel.launcher import cli, make_global_mesh
+
+    seen = {}
+
+    def payload(rank, world, devices, extra):
+        seen.update(rank=rank, world=world, n_dev=len(devices), extra=extra)
+        mesh = make_global_mesh()
+        assert mesh.devices.size == len(jax.devices())
+        return rank
+
+    out = cli(payload, "x")
+    assert out == 0
+    assert seen["rank"] == 0 and seen["world"] == 1
+    assert seen["extra"] == "x" and seen["n_dev"] >= 1
