@@ -138,6 +138,8 @@ def main():
     p.add_argument("--steps_per_dispatch", type=int, default=25)
     p.add_argument("--isect_capacity", type=int, default=6 << 20)
     p.add_argument("--eval_every", type=int, default=0)
+    p.add_argument("--grad_dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
 
     import jax
@@ -178,6 +180,8 @@ def main():
         entropy_model_opt=args.compression_sim,
         shN_ada_mask_opt=args.compression_sim,
         rd_lambda=args.rd_lambda,
+        grad_dtype=args.grad_dtype,
+        seed=args.seed,
         eval_steps=(), save_steps=(),
     )
     runner = Runner(cfg, parser=parser, trainset=train_views,

@@ -539,9 +539,16 @@ def _build_sorted_generic(cfg: V2Cfg, means2d, attr_rows, depths, radii):
     padv = lambda a, v: jnp.concatenate(
         [a, jnp.full((M_pad - M,), v, jnp.float32)]
     )
+    # cum/cnt ride the table as f32; raw cumulative counts can exceed the
+    # 2^24 f32-exact integer range when splats balloon (total is UNBOUNDED
+    # even with a small cap), which would silently misalign the expansion's
+    # one-hot windows. Clamping both prefix bounds to the cap keeps every
+    # in-cap window bit-exact (out-of-cap tails are truncated anyway).
+    cum_cl = jnp.minimum(cum_i32, cap)
+    cum_e_cl = jnp.minimum(cum_i32 - counts_si, cap)
     rows = [
-        padv(cum_i32.astype(jnp.float32), 3.0e7),
-        padv(counts_s, 0.0),
+        padv(cum_cl.astype(jnp.float32), 3.0e7),
+        padv((cum_cl - cum_e_cl).astype(jnp.float32), 0.0),
         padv(base_s, 0.0),
         padv(jnp.maximum(nxs, 1).astype(jnp.float32), 1.0),
         padv(jnp.arange(M, dtype=jnp.float32), 0.0),

@@ -295,6 +295,21 @@ def sharded_rasterization(
     return img, alp, meta
 
 
+# Compiled-step caches: the shard_map'd closures used to be rebuilt per
+# call, so EVERY distributed_render/train_step invocation recompiled the
+# whole pipeline (minutes in interpret mode). Keyed on the mesh + statics
+# + arg shapes.
+_RENDER_CACHE: Dict = {}
+_STEP_CACHE: Dict = {}
+
+
+def _shape_key(tree):
+    return tuple(
+        (k, tuple(v.shape), str(v.dtype))
+        for k, v in sorted(tree.items())
+    )
+
+
 def distributed_render(
     mesh: Mesh,
     splats: Dict[str, jnp.ndarray],  # arrays sharded on axis 0 over AXIS
@@ -307,26 +322,31 @@ def distributed_render(
     exchange_cap: Optional[int] = None,
 ):
     """User-facing multi-chip render: returns [C, H, W, 3] images."""
+    key = (mesh, width, height, sh_degree, isect_capacity, exchange_cap,
+           _shape_key(splats), tuple(viewmats.shape))
+    if key not in _RENDER_CACHE:
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(AXIS), P(), P()),
-        out_specs=P(AXIS),
-        check_vma=False,
-    )
-    def run(splats_shard, viewmats, Ks):
-        means, quats, scales, opac = splat_activations(splats_shard)
-        shs = jnp.concatenate(
-            [splats_shard["sh0"], splats_shard["shN"]], axis=1
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(), P()),
+            out_specs=P(AXIS),
+            check_vma=False,
         )
-        img, _, _ = rasterize_sharded(
-            means, quats, scales, opac, shs, viewmats, Ks, width, height,
-            sh_degree, isect_capacity, exchange_cap=exchange_cap,
-        )
-        return img
+        def run(splats_shard, viewmats, Ks):
+            means, quats, scales, opac = splat_activations(splats_shard)
+            shs = jnp.concatenate(
+                [splats_shard["sh0"], splats_shard["shN"]], axis=1
+            )
+            img, _, _ = rasterize_sharded(
+                means, quats, scales, opac, shs, viewmats, Ks, width,
+                height, sh_degree, isect_capacity,
+                exchange_cap=exchange_cap,
+            )
+            return img
 
-    return run(splats, viewmats, Ks)
+        _RENDER_CACHE[key] = jax.jit(run)
+    return _RENDER_CACHE[key](splats, viewmats, Ks)
 
 
 def distributed_train_step(
@@ -346,45 +366,54 @@ def distributed_train_step(
     through the all_to_all, local-shard Adam updates. Returns (splats,
     opt_states, loss, diagnostics)."""
     height, width = images.shape[1:3]
-    G = mesh.devices.size
     cap = splats["means"].shape[0]
+    key = (mesh, width, height, sh_degree, isect_capacity, ssim_lambda,
+           exchange_cap, id(txs), _shape_key(splats), tuple(images.shape))
+    if key not in _STEP_CACHE:
+        # Optimizer states mix per-Gaussian moments (shard) with scalar
+        # counters (replicate) — build a per-leaf spec tree.
+        opt_specs = jax.tree_util.tree_map(
+            lambda x: P(AXIS)
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == cap
+            else P(),
+            opt_states,
+        )
 
-    # Optimizer states mix per-Gaussian moments (shard) with scalar counters
-    # (replicate) — build a per-leaf spec tree.
-    opt_specs = jax.tree_util.tree_map(
-        lambda x: P(AXIS) if getattr(x, "ndim", 0) >= 1 and x.shape[0] == cap
-        else P(),
-        opt_states,
-    )
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(AXIS), opt_specs, P(AXIS), P(), P()),
+            out_specs=(P(AXIS), opt_specs, P(), P()),
+            check_vma=False,
+        )
+        def run(splats_shard, opt_shard, images_shard, viewmats, Ks):
+            def loss_fn(params):
+                means, quats, scales, opac = splat_activations(params)
+                shs = jnp.concatenate(
+                    [params["sh0"], params["shN"]], axis=1
+                )
+                img, _, diag = rasterize_sharded(
+                    means, quats, scales, opac, shs, viewmats, Ks, width,
+                    height, sh_degree, isect_capacity,
+                    exchange_cap=exchange_cap,
+                )
+                local = combined_loss(img, images_shard, ssim_lambda)
+                # mean over all cameras: every shard holds C/G of them
+                return jax.lax.pmean(local, AXIS), diag
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(AXIS), opt_specs, P(AXIS), P(), P()),
-        out_specs=(P(AXIS), opt_specs, P(), P()),
-        check_vma=False,
-    )
-    def run(splats_shard, opt_shard, images_shard, viewmats, Ks):
-        def loss_fn(params):
-            means, quats, scales, opac = splat_activations(params)
-            shs = jnp.concatenate([params["sh0"], params["shN"]], axis=1)
-            img, _, diag = rasterize_sharded(
-                means, quats, scales, opac, shs, viewmats, Ks, width, height,
-                sh_degree, isect_capacity, exchange_cap=exchange_cap,
-            )
-            local = combined_loss(img, images_shard, ssim_lambda)
-            # mean over all cameras: every shard holds C/G of them
-            return jax.lax.pmean(local, AXIS), diag
+            (loss, diag), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(splats_shard)
+            diag = {
+                k: jax.lax.pmax(jax.lax.stop_gradient(v), AXIS)
+                for k, v in diag.items()
+            }
+            new_params, new_opt = {}, {}
+            for name, p in splats_shard.items():
+                upd, st = txs[name].update(grads[name], opt_shard[name], p)
+                new_params[name] = p + upd
+                new_opt[name] = st
+            return new_params, new_opt, loss, diag
 
-        (loss, diag), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(splats_shard)
-        diag = {k: jax.lax.pmax(v, AXIS) for k, v in diag.items()}
-        new_params, new_opt = {}, {}
-        for name, p in splats_shard.items():
-            upd, st = txs[name].update(grads[name], opt_shard[name], p)
-            new_params[name] = p + upd
-            new_opt[name] = st
-        return new_params, new_opt, loss, diag
-
-    return run(splats, opt_states, images, viewmats, Ks)
+        _STEP_CACHE[key] = jax.jit(run)
+    return _STEP_CACHE[key](splats, opt_states, images, viewmats, Ks)

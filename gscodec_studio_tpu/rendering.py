@@ -62,6 +62,7 @@ def rasterization(
     rasterizer: str = "fused",
     cutoff_mode: str = "exact",  # fused only: "soft" = chunk-granular
     # early-out (cheaper pair math, sub-1e-4 tail admitted)
+    grad_dtype: str = "bf16",  # fused only: per-isect grad row precision
     means2d_probe: Optional[jnp.ndarray] = None,
     absgrad_probe: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
@@ -179,6 +180,7 @@ def rasterization(
                 width, height, tile_size=tile_size,
                 isect_capacity=isect_capacity, backgrounds=bgs,
                 absgrad_probe=absgrad_probe, cutoff_mode=cutoff_mode,
+                grad_dtype=grad_dtype,
             )
             chunks.append(img)
         render_colors = (

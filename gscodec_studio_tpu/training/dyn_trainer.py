@@ -68,7 +68,10 @@ class DynConfig:
     # "linear" = + dir/time linear combine, "sandwich" = 9-ch feature
     # render + CNN decoder with per-pixel rays (simple_trainer_STG.py:531,
     # :580; helper_model.py Sandwich)
-    color_mode: str = "linear"
+    # "sandwich" is the reference's ACTIVE path (9-ch features through the
+    # Sandwich CNN decoder, simple_trainer_STG.py:531,580) and the default
+    # here; "linear" is the cheap dir/time-combine head, "rgb" static color
+    color_mode: str = "sandwich"
     decoder_lr: float = 1e-4  # STG decoder_params lr (:242)
     # Training-time compression simulation (STG tables,
     # compression_sim/simulation.py STGCompressionSimulation)

@@ -114,6 +114,9 @@ class Config:
     # per-pair rule. Production trains soft (as v1 shipped); parity tests
     # run exact.
     cutoff_mode: str = "soft"
+    # per-isect gradient row precision in the fused backward ("bf16" packs
+    # pairs -> cheaper grad-id sort; "f32" = bit-accurate rows)
+    grad_dtype: str = "bf16"
 
     # Multi-chip training: shard the gaussians over a 1-D device mesh and
     # run the train step under shard_map with the fused v2 backend per
@@ -414,6 +417,7 @@ class Runner:
                         exchange_cap=cfg.exchange_cap,
                         antialiased=cfg.antialiased,
                         cutoff_mode=cfg.cutoff_mode,
+                        grad_dtype=cfg.grad_dtype,
                     )
                     # this device renders/supervises B/G of the cameras
                     Gd = jax.lax.axis_size(AXIS)
@@ -438,6 +442,7 @@ class Runner:
                         absgrad_probe=ag_probe if use_absgrad else None,
                         rasterizer=cfg.rasterizer,
                         cutoff_mode=cfg.cutoff_mode,
+                        grad_dtype=cfg.grad_dtype,
                     )
                     target_l = target
                 depth_map = None
@@ -727,32 +732,32 @@ class Runner:
                 self.splats, self.opt_states = strat.maybe_reset_opacity(
                     self.splats, self.opt_states, step
                 )
+            # Adaptive capacity: checked EVERY chunk (a near-full
+            # intersection buffer silently truncates splats — reacting only
+            # at log boundaries let a 360k-cap garden run train truncated
+            # for hundreds of steps and diverge); grow + recompile at >=95%.
+            cap_used = int(chunk_max_isects)
+            isect_cap = self._isect_capacity()
+            fill = cap_used / isect_cap
+            if fill >= 0.95:
+                self._isect_cap_scale = (
+                    getattr(self, "_isect_cap_scale", 1) * 2
+                )
+                self._train_step = None
+                self._render_cache = {}
+                print(
+                    f"step {step}: ISECT OVERFLOW ({cap_used} >= 95% of "
+                    f"{isect_cap}) — capacity doubles, step recompiles",
+                    flush=True,
+                )
+            losses.extend(np.asarray(chunk_losses).tolist())
             if log_every and step >= next_log:
-                # Host sync only here (keeps the device pipeline deep).
-                losses.extend(np.asarray(chunk_losses).tolist())
-                cap_used = int(chunk_max_isects)
-                isect_cap = self._isect_capacity()
-                fill = cap_used / isect_cap
-                warn = "  !! ISECT OVERFLOW (capacity doubles)" if (
-                    fill >= 0.95
-                ) else ""
                 print(
                     f"step {step}: loss {losses[-1]:.4f} "
-                    f"isects {cap_used} ({fill:.0%} of cap){warn} "
+                    f"isects {cap_used} ({fill:.0%} of cap) "
                     f"({time.time()-t0:.1f}s)", flush=True
                 )
                 next_log = step + log_every
-                if fill >= 0.95:
-                    # Adaptive capacity: a (near-)full intersection buffer
-                    # silently truncates splats; grow it and recompile the
-                    # step instead of training on a clipped image.
-                    self._isect_cap_scale = (
-                        getattr(self, "_isect_cap_scale", 1) * 2
-                    )
-                    self._train_step = None
-                    self._render_cache = {}
-            else:
-                losses.extend(np.asarray(chunk_losses).tolist())
             if cfg.tb_every and (step % cfg.tb_every) < S:
                 n_live = int(
                     np.sum(1.0 / (1.0 + np.exp(

@@ -21,19 +21,34 @@ from gscodec_studio_tpu.rendering import rasterization
 G = 8
 
 
-def _scene(rng, C=G, N=128, W=16, H=16):
+@pytest.fixture(scope="module")
+def dist_scene():
+    """Module-shared scene + optimizers: the compiled-step caches in
+    parallel/distributed.py then reuse one compilation across tests."""
+    rng = np.random.default_rng(1234)
+    N, C, W, H = 128, G, 16, 16
     pts = (rng.random((N, 3)).astype(np.float32) - 0.5) * 2
     rgb = rng.random((N, 3)).astype(np.float32)
     splats = create_splats(pts, rgb, cap=N, sh_degree=1, init_opacity=0.6,
                            init_scale=2.0)
     s = make_test_scene(rng, C=C, N=N, width=W, height=H)
-    return splats, jnp.asarray(s["viewmats"]), jnp.asarray(s["Ks"]), W, H
+    txs, opt_states = build_splat_optimizers(splats)
+    targets = jnp.asarray(rng.random((G, H, W, 3)).astype(np.float32))
+    mesh = make_mesh(G)
+    return dict(splats=splats, viewmats=jnp.asarray(s["viewmats"]),
+                Ks=jnp.asarray(s["Ks"]), W=W, H=H, txs=txs,
+                opt_states=opt_states, targets=targets, mesh=mesh)
 
 
 @pytest.mark.skipif(jax.device_count() < G, reason="needs 8 devices")
-def test_distributed_render_matches_single(rng):
-    splats, viewmats, Ks, W, H = _scene(rng)
-    mesh = make_mesh(G)
+def test_distributed_render_matches_single_and_bucketed(dist_scene):
+    """Dense-exchange sharded render == single-device render; the
+    visibility-bucketed exchange matches the dense one when the cap covers
+    every visible Gaussian and stays finite when it does not."""
+    d = dist_scene
+    splats, viewmats, Ks, W, H = (d["splats"], d["viewmats"], d["Ks"],
+                                  d["W"], d["H"])
+    mesh = d["mesh"]
 
     imgs_d = distributed_render(
         mesh, splats, viewmats, Ks, W, H, sh_degree=1, isect_capacity=8192
@@ -49,47 +64,12 @@ def test_distributed_render_matches_single(rng):
         np.asarray(imgs_d), np.asarray(imgs_s), rtol=1e-3, atol=2e-3
     )
 
-
-@pytest.mark.skipif(jax.device_count() < G, reason="needs 8 devices")
-def test_distributed_train_step_runs_and_descends(rng):
-    splats, viewmats, Ks, W, H = _scene(rng)
-    mesh = make_mesh(G)
-    txs, opt_states = build_splat_optimizers(splats)
-    targets = jnp.asarray(rng.random((G, H, W, 3)).astype(np.float32))
-
-    # Two steps only: one compile + one reuse is enough to assert descent,
-    # and keeps the 8-device interpret-mode run inside the suite budget
-    # (the 5-step variant exceeded 9 minutes standalone).
-    p, o = splats, opt_states
-    losses = []
-    for _ in range(2):
-        p, o, loss, _ = distributed_train_step(
-            mesh, p, o, txs, targets, viewmats, Ks, sh_degree=1,
-            isect_capacity=4096,
-        )
-        losses.append(float(loss))
-    assert losses[-1] < losses[0]
-    # Params actually changed and stayed finite.
-    assert np.all(np.isfinite(np.asarray(p["means"])))
-    assert not np.allclose(np.asarray(p["means"]), np.asarray(splats["means"]))
-
-
-@pytest.mark.skipif(jax.device_count() < G, reason="needs 8 devices")
-def test_bucketed_exchange_matches_dense(rng):
-    """Visibility-bucketed fixed-capacity exchange == dense exchange when
-    the cap covers every visible Gaussian, at a fraction of the volume."""
-    splats, viewmats, Ks, W, H = _scene(rng)
-    mesh = make_mesh(G)
-
-    dense = distributed_render(
-        mesh, splats, viewmats, Ks, W, H, sh_degree=1, isect_capacity=8192
-    )
     bucketed = distributed_render(
         mesh, splats, viewmats, Ks, W, H, sh_degree=1, isect_capacity=8192,
         exchange_cap=128 // G,  # == Nl: cap covers every visible gaussian
     )
     np.testing.assert_allclose(
-        np.asarray(bucketed), np.asarray(dense), rtol=1e-4, atol=1e-4
+        np.asarray(bucketed), np.asarray(imgs_d), rtol=1e-4, atol=1e-4
     )
     # under-capacity: overflow is counted, render stays finite
     tight = distributed_render(
@@ -100,16 +80,28 @@ def test_bucketed_exchange_matches_dense(rng):
 
 
 @pytest.mark.skipif(jax.device_count() < G, reason="needs 8 devices")
-def test_bucketed_exchange_gradient_parity(rng):
-    """One training step with the bucketed exchange produces the same
-    parameter update as the dense exchange when the cap covers every
-    visible Gaussian (gradients flow back through the gathers +
-    all_to_all identically)."""
-    splats, viewmats, Ks, W, H = _scene(rng)
-    mesh = make_mesh(G)
-    txs, opt_states = build_splat_optimizers(splats)
-    targets = jnp.asarray(rng.random((G, H, W, 3)).astype(np.float32))
+def test_distributed_train_step_descends_and_bucketed_parity(dist_scene):
+    """Two dense steps descend; one bucketed step with a covering cap
+    produces the SAME update as the dense step (gradients flow back
+    through the gathers + all_to_all identically)."""
+    d = dist_scene
+    splats, viewmats, Ks = d["splats"], d["viewmats"], d["Ks"]
+    mesh, txs, opt_states, targets = (d["mesh"], d["txs"], d["opt_states"],
+                                      d["targets"])
 
+    p, o = splats, opt_states
+    losses = []
+    for _ in range(2):
+        p, o, loss, _ = distributed_train_step(
+            mesh, p, o, txs, targets, viewmats, Ks, sh_degree=1,
+            isect_capacity=4096,
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.all(np.isfinite(np.asarray(p["means"])))
+    assert not np.allclose(np.asarray(p["means"]), np.asarray(splats["means"]))
+
+    # bucketed-vs-dense parity from the SAME starting state
     p_d, _, loss_d, _ = distributed_train_step(
         mesh, splats, opt_states, txs, targets, viewmats, Ks, sh_degree=1,
         isect_capacity=4096,

@@ -95,6 +95,7 @@ def test_dyn_training_descends(rng):
     cfg = DynConfig(
         result_dir="/tmp/gsc_dyn_test", max_steps=40, mcmc_cap_max=128,
         isect_capacity=8192, steps_per_dispatch=10,
+        color_mode="linear",  # the sandwich default has its own test
         rasterizer="pallas",  # v1 backend: fused is covered by test_raster_v2; interpret-mode v2 is slow in-suite
     )
     runner = DynRunner(cfg, ds.points, ds.rgbs, ds, ds, scene_scale=1.0)
@@ -135,7 +136,7 @@ def test_dyn_stg_strategy(rng):
     cfg = DynConfig(
         result_dir="/tmp/gsc_dyn_stgstrat_test", max_steps=30, capacity=160,
         isect_capacity=8192, steps_per_dispatch=10, strategy="stg",
-        rasterizer="pallas",
+        color_mode="linear", rasterizer="pallas",
     )
     runner = DynRunner(cfg, ds.points, ds.rgbs, ds, ds, scene_scale=1.0)
     from gscodec_studio_tpu.strategy.stg import STGStrategy
@@ -150,7 +151,7 @@ def test_dyn_render_view_video(rng, tmp_path):
     ds = _SyntheticVideo(rng)
     cfg = DynConfig(
         result_dir=str(tmp_path / "dyn"), max_steps=0, mcmc_cap_max=128,
-        isect_capacity=8192, rasterizer="pallas",
+        isect_capacity=8192, color_mode="linear", rasterizer="pallas",
     )
     runner = DynRunner(cfg, ds.points, ds.rgbs, ds, ds, scene_scale=1.0)
     d = ds[0]

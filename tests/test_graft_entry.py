@@ -18,4 +18,7 @@ def test_entry_compiles_and_runs():
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(min(8, jax.device_count()))
+    # the driver runs the full 100k/256x256 shape; the suite
+    # exercises the same code path at a lighter shape
+    ge.dryrun_multichip(min(8, jax.device_count()),
+                        n_gauss=20_000, wh=(128, 96))
