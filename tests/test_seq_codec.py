@@ -70,3 +70,43 @@ def test_stg_png_roundtrip(rng, tmp_path):
     q_in = np.quantile(np.sort(splats["motion"].reshape(-1)), [0.2, 0.8])
     q_out = np.quantile(np.sort(out["motion"].reshape(-1)), [0.2, 0.8])
     np.testing.assert_allclose(q_in, q_out, atol=0.02)
+
+
+def test_stg_codec_map_kbit_kmeans_npz(rng, tmp_path):
+    """The reference's per-attribute codec map (stg_compression.py:47-83):
+    k-bit scales/quats, K-means feature banks, npz fallback for attrs
+    outside the map."""
+    from gscodec_studio_tpu.compression.stg_compression import (
+        STGPngCompression,
+    )
+
+    n = 700
+    splats = {
+        "means": (rng.standard_normal((n, 3)) * 2).astype(np.float32),
+        "scales": (-5 + rng.random((n, 3))).astype(np.float32),
+        "quats": rng.standard_normal((n, 4)).astype(np.float32),
+        "opacities": (3 * rng.random(n)).astype(np.float32),
+        "motion": (0.2 * rng.standard_normal((n, 9))).astype(np.float32),
+        "features_dir": rng.random((n, 3)).astype(np.float32),
+        "extra_head": rng.random((n, 5)).astype(np.float32),  # unmapped
+    }
+    codec = STGPngCompression(quantization=6, use_kmeans=True)
+    d = str(tmp_path / "stg_map")
+    codec.compress(d, splats)
+    import json as _json
+    import os as _os
+
+    meta = _json.load(open(_os.path.join(d, "meta.json")))
+    assert meta["attrs"]["scales"]["n_bits"] == 6
+    assert meta["attrs"]["features_dir"]["kind"] == "kmeans"
+    assert meta["attrs"]["extra_head"]["kind"] == "npz"
+    out = codec.decompress(d)
+    side = meta["side"]
+    assert out["extra_head"].shape == (side * side, 5)
+    # npz fallback is lossless on the surviving (sorted) rows
+    assert set(np.round(out["extra_head"][:, 0], 6)) <= set(
+        np.round(splats["extra_head"][:, 0], 6))
+    # 6-bit scales still reconstruct distribution-level
+    q_in = np.quantile(splats["scales"].reshape(-1), [0.2, 0.8])
+    q_out = np.quantile(out["scales"].reshape(-1), [0.2, 0.8])
+    np.testing.assert_allclose(q_in, q_out, atol=0.08)
