@@ -1525,7 +1525,7 @@ def rasterize_to_pixels_v2(
     interpret: Optional[bool] = None,
     absgrad_probe: Optional[jnp.ndarray] = None,  # [C, N, 2] zeros
     cutoff_mode: str = "exact",
-    grad_dtype: str = "bf16",
+    grad_dtype: str = "f32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Differentiable fused binning + tile rasterization.
 

@@ -148,7 +148,7 @@ def rasterize_sharded(
     backgrounds=None,
     exchange_cap: Optional[int] = None,
     cutoff_mode: str = "exact",
-    grad_dtype: str = "bf16",
+    grad_dtype: str = "f32",
 ):
     """Inside-shard_map distributed rasterization. Returns this device's
     ([C/G, H, W, 3] renders, alphas, diagnostics). Cameras are split
@@ -215,7 +215,7 @@ def sharded_rasterization(
     exchange_cap: Optional[int] = None,
     antialiased: bool = False,
     cutoff_mode: str = "soft",
-    grad_dtype: str = "bf16",
+    grad_dtype: str = "f32",
 ):
     """Trainer-grade inside-shard_map rasterization on the fused v2 backend.
 

@@ -62,7 +62,7 @@ def rasterization(
     rasterizer: str = "fused",
     cutoff_mode: str = "exact",  # fused only: "soft" = chunk-granular
     # early-out (cheaper pair math, sub-1e-4 tail admitted)
-    grad_dtype: str = "bf16",  # fused only: per-isect grad row precision
+    grad_dtype: str = "f32",  # fused only: per-isect grad row precision
     means2d_probe: Optional[jnp.ndarray] = None,
     absgrad_probe: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:

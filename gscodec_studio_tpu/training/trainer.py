@@ -115,8 +115,13 @@ class Config:
     # run exact.
     cutoff_mode: str = "soft"
     # per-isect gradient row precision in the fused backward ("bf16" packs
-    # pairs -> cheaper grad-id sort; "f32" = bit-accurate rows)
-    grad_dtype: str = "bf16"
+    # pairs -> cheaper grad-id sort; "f32" = bit-accurate rows).
+    # Default f32: two long garden runs (cap 360k, MCMC+sim) diverged to
+    # NaN at steps ~250/~1350 on bf16 rows, while the identically-seeded
+    # f32 run trained cleanly through the same region (results/
+    # garden_ladder_r3 scalars). bf16 stays as an opt-in perf mode until
+    # the instability is root-caused.
+    grad_dtype: str = "f32"
 
     # Multi-chip training: shard the gaussians over a 1-D device mesh and
     # run the train step under shard_map with the fused v2 backend per
