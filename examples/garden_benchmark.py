@@ -200,7 +200,8 @@ def main():
         "phase": "train", "steps": args.steps,
         "secs": round(train_secs, 1),
         "steps_per_sec": round(args.steps / train_secs, 2),
-        "final_loss": round(float(np.mean(losses[-50:])), 4),
+        "final_loss": round(float(np.nanmean(losses[-50:])), 4),
+        "skipped_steps": int(getattr(runner, "_skipped_steps", 0)),
         **{k: round(v, 3) for k, v in metrics.items()},
     }
     print(json.dumps(result), flush=True)

@@ -345,6 +345,12 @@ class Runner:
 
         def train_step(params, opt_states, strat_state, sim_bundle,
                        aux_bundle, batch, idx, key, step, means_lr):
+            # Keep the incoming state: a non-finite loss/grad step is
+            # REJECTED wholesale (see `ok` below) instead of poisoning the
+            # model — long runs on the remote relay have shown rare
+            # transient NaN injections whose onset step is not reproducible.
+            state_in = (params, opt_states, strat_state, sim_bundle,
+                        aux_bundle)
             sim_params, sim_opt_state = (
                 sim_bundle if sim is not None else (None, None)
             )
@@ -546,8 +552,32 @@ class Runner:
                 )
             if isinstance(strategy, MCMCStrategy):
                 params = strategy.inject_noise(params, key, means_lr)
-            return (params, opt_states, strat_state, (sim_params, sim_opt_state),
-                    (aux_params, aux_opt_states), loss, meta["n_isects"])
+
+            # Finite-step gate: accept the update only if the loss and every
+            # gradient element are finite; otherwise carry the incoming
+            # state through unchanged and flag the step as skipped.
+            ok = jnp.isfinite(loss)
+            for leaf in jax.tree_util.tree_leaves(
+                (param_grads, sim_grads, aux_grads)
+            ):
+                ok &= jnp.all(jnp.isfinite(leaf))
+            if is_mesh:
+                from gscodec_studio_tpu.parallel.distributed import AXIS
+
+                # one poisoned shard rejects the step everywhere
+                ok = jax.lax.pmin(ok.astype(jnp.float32), AXIS) > 0
+            state_out = (params, opt_states, strat_state,
+                         (sim_params, sim_opt_state) if sim is not None
+                         else sim_bundle,
+                         (aux_params, aux_opt_states))
+            params, opt_states, strat_state, sim_bundle, aux_bundle = (
+                jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(ok, new, old),
+                    state_out, state_in,
+                )
+            )
+            return (params, opt_states, strat_state, sim_bundle,
+                    aux_bundle, loss, meta["n_isects"], ~ok)
 
         def train_chunk(params, opt_states, strat_state, sim_bundle,
                         aux_bundle, data, idxs, keys, steps, means_lrs):
@@ -562,23 +592,23 @@ class Runner:
                 idx, key, step, lr = xs  # idx: [B]
                 batch = jax.tree_util.tree_map(lambda a: a[idx], data)
                 (params, opt_states, strat_state, sim_bundle, aux_bundle,
-                 loss, n_is) = train_step(
+                 loss, n_is, skipped) = train_step(
                     params, opt_states, strat_state, sim_bundle, aux_bundle,
                     batch, idx, key, step, lr,
                 )
                 return (
                     (params, opt_states, strat_state, sim_bundle, aux_bundle),
-                    (loss, n_is),
+                    (loss, n_is, skipped),
                 )
 
             ((params, opt_states, strat_state, sim_bundle, aux_bundle),
-             (losses, n_isects)) = jax.lax.scan(
+             (losses, n_isects, skips)) = jax.lax.scan(
                 body,
                 (params, opt_states, strat_state, sim_bundle, aux_bundle),
                 (idxs, keys, steps, means_lrs),
             )
             return (params, opt_states, strat_state, sim_bundle, aux_bundle,
-                    losses, jnp.max(n_isects))
+                    losses, jnp.max(n_isects), jnp.sum(skips))
 
         if is_mesh:
             # Gaussian-sharded multi-chip step: per-gaussian leaves (params,
@@ -607,7 +637,7 @@ class Runner:
                 ),
                 out_specs=(
                     leaf_spec(self.splats), leaf_spec(self.opt_states),
-                    leaf_spec(self.strategy_state), P(), P(), P(), P(),
+                    leaf_spec(self.strategy_state), P(), P(), P(), P(), P(),
                 ),
                 check_vma=False,
             )
@@ -705,12 +735,23 @@ class Runner:
             )
             aux_bundle = (self.aux_params, self.aux_opt_states)
             (self.splats, self.opt_states, self.strategy_state, sim_bundle,
-             aux_bundle, chunk_losses, chunk_max_isects) = self._train_step(
+             aux_bundle, chunk_losses, chunk_max_isects,
+             chunk_skips) = self._train_step(
                 self.splats, self.opt_states, self.strategy_state,
                 sim_bundle, aux_bundle, data, idxs, keys, steps, lrs,
             )
             self.aux_params, self.aux_opt_states = aux_bundle
             step += S
+            n_skip = int(chunk_skips)
+            if n_skip:
+                self._skipped_steps = getattr(
+                    self, "_skipped_steps", 0
+                ) + n_skip
+                print(
+                    f"step {step}: {n_skip}/{S} steps REJECTED "
+                    f"(non-finite loss/grads) — state carried unchanged "
+                    f"({self._skipped_steps} total)", flush=True,
+                )
 
             # Densification / relocation schedule (host-side decisions).
             if (
@@ -719,12 +760,23 @@ class Runner:
                 and step % strat.refine_every == 0
             ):
                 self.key, k = jax.random.split(self.key)
-                self.splats, self.opt_states, self.strategy_state = (
-                    self._refine(
-                        self.splats, self.opt_states, self.strategy_state,
-                        jnp.asarray(step), k,
-                    )
+                new_state = self._refine(
+                    self.splats, self.opt_states, self.strategy_state,
+                    jnp.asarray(step), k,
                 )
+                # same finite gate as the train step: refinement runs
+                # host-side outside the scan, so guard its output too
+                if all(
+                    bool(np.all(np.isfinite(np.asarray(x))))
+                    for x in jax.tree_util.tree_leaves(new_state[0])
+                ):
+                    (self.splats, self.opt_states,
+                     self.strategy_state) = new_state
+                else:
+                    print(
+                        f"step {step}: refine REJECTED (non-finite "
+                        f"output params)", flush=True,
+                    )
             if (
                 isinstance(strat, DefaultStrategy)
                 and step % strat.reset_every == 0
@@ -772,7 +824,9 @@ class Runner:
                 self.logger.scalars(
                     {"train/loss": float(np.asarray(chunk_losses)[-1]),
                      "train/n_isects": int(chunk_max_isects),
-                     "train/num_GS": n_live},
+                     "train/num_GS": n_live,
+                     "train/skipped_steps": getattr(
+                         self, "_skipped_steps", 0)},
                     step,
                 )
             if cfg.tb_histograms_every and (

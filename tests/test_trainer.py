@@ -150,3 +150,39 @@ def test_training_mesh_sharded(rng):
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
     after = runner.eval("mesh_after")["psnr"]
     assert np.isfinite(after)
+
+
+def test_nonfinite_steps_rejected(rng):
+    """The finite-step gate: steps whose loss/grads are non-finite are
+    rejected wholesale (state carried unchanged, counted in
+    _skipped_steps) instead of poisoning the model."""
+    parser = FakeParser(rng)
+    # poison one training view with NaNs
+    parser.images[1] = np.full_like(parser.images[1], np.nan)
+    cfg = Config(
+        result_dir="/tmp/gsc_test_gate",
+        max_steps=40,
+        sh_degree=0,
+        sh_degree_interval=1,
+        strategy="mcmc",
+        mcmc_cap_max=256,
+        capacity=256,
+        isect_capacity=8192,
+        steps_per_dispatch=10,
+        rasterizer="pallas",
+    )
+    runner = Runner(
+        cfg,
+        parser=parser,
+        trainset=FakeDataset(parser, "train"),
+        valset=FakeDataset(parser, "val"),
+    )
+    losses = np.asarray(runner.train(log_every=0))
+    assert getattr(runner, "_skipped_steps", 0) > 0
+    # every poisoned step shows as NaN loss but the model stays finite
+    assert np.isnan(losses).any()
+    for k, v in runner.splats.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+    # the clean steps still optimized
+    clean = losses[~np.isnan(losses)]
+    assert np.mean(clean[-5:]) < np.mean(clean[:5])
