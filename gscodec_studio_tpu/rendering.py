@@ -345,14 +345,16 @@ def rasterization_2dgs(
         )
 
         cap = isect_capacity or _default_isect_capacity(C, N)
-        render, alphas, render_normals, render_distort, render_median, _ = (
+        render, alphas, render_normals, render_distort, render_median, kmeta = (
             rasterize_to_pixels_2dgs_v2(
                 means2d, ray_transforms, colors_cn, opacities_cn, normals,
                 depths, radii, width, height, tile_size=tile_size,
                 isect_capacity=cap, backgrounds=backgrounds,
             )
         )
+        n_isects = kmeta["n_isects"]
     else:
+        n_isects = jnp.zeros((), jnp.int32)
         render, alphas, render_normals, render_distort, render_median = (
             rasterize_to_pixels_2dgs_ref(
                 means2d, ray_transforms, colors_cn, opacities_cn, normals,
@@ -372,6 +374,7 @@ def rasterization_2dgs(
         radii=radii, means2d=means2d, depths=depths,
         ray_transforms=ray_transforms, normals=normals, width=width,
         height=height, n_cameras=C, gradient_2dgs=means2d,
+        n_isects=n_isects,
     )
     if render_mode in ("RGB+D", "RGB+ED"):
         render_colors = jnp.concatenate([render_colors, depth_out], axis=-1)

@@ -80,6 +80,7 @@ class Runner2DGS(Runner):
                 loss += cfg.dist_lambda * gate_d * jnp.mean(distort)
                 return loss, meta
 
+            state_in = (params, opt_states, strat_state)
             probe = jnp.zeros((B, cap, 2), jnp.float32)
             (loss, meta), grads = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
@@ -89,8 +90,17 @@ class Runner2DGS(Runner):
             params, opt_states = apply_updates(
                 self.txs, opt_states, params, param_grads
             )
-            n_vis = jnp.sum(meta["radii"] > 0)
-            return params, opt_states, strat_state, sim_bundle, loss, n_vis
+            # Finite-step gate (same policy as the base trainer): accept the
+            # update only if the loss and every gradient element are finite.
+            ok = jnp.isfinite(loss)
+            for leaf in jax.tree_util.tree_leaves(param_grads):
+                ok &= jnp.all(jnp.isfinite(leaf))
+            params, opt_states, strat_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old),
+                (params, opt_states, strat_state), state_in,
+            )
+            return (params, opt_states, strat_state, sim_bundle, loss,
+                    meta["n_isects"], ~ok)
 
         def train_chunk(params, opt_states, strat_state, sim_bundle,
                         aux_bundle, data, idxs, keys, steps, means_lrs):
@@ -102,19 +112,18 @@ class Runner2DGS(Runner):
                 p, o, s, sb = carry
                 idx, key, step, lr = xs
                 batch = jax.tree_util.tree_map(lambda a: a[idx], data)
-                p, o, s, sb, loss, n_vis = train_step(
+                p, o, s, sb, loss, n_is, skipped = train_step(
                     p, o, s, sb, batch, key, step, lr
                 )
-                return (p, o, s, sb), (loss, n_vis)
+                return (p, o, s, sb), (loss, n_is, skipped)
 
-            (params, opt_states, strat_state, sim_bundle), (losses, n_vis) = (
-                jax.lax.scan(
-                    body, (params, opt_states, strat_state, sim_bundle),
-                    (idxs, keys, steps, means_lrs),
-                )
+            ((params, opt_states, strat_state, sim_bundle),
+             (losses, n_isects, skips)) = jax.lax.scan(
+                body, (params, opt_states, strat_state, sim_bundle),
+                (idxs, keys, steps, means_lrs),
             )
             return (params, opt_states, strat_state, sim_bundle, aux_bundle,
-                    losses, jnp.max(n_vis))
+                    losses, jnp.max(n_isects), jnp.sum(skips))
 
         return jax.jit(train_chunk, donate_argnums=(0, 1))
 
