@@ -216,6 +216,7 @@ def sharded_rasterization(
     antialiased: bool = False,
     cutoff_mode: str = "soft",
     grad_dtype: str = "f32",
+    render_mode: str = "RGB",
 ):
     """Trainer-grade inside-shard_map rasterization on the fused v2 backend.
 
@@ -256,6 +257,12 @@ def sharded_rasterization(
         cols = jnp.clip(cols + 0.5, 0.0, None)
     else:
         cols = colors
+    if render_mode == "RGB+ED":
+        # depth rides as an extra channel (reference rendering.py render
+        # modes); expected-depth normalization happens after rasterization
+        cols = jnp.concatenate([cols, depths[..., None]], axis=-1)
+    else:
+        assert render_mode == "RGB", render_mode
 
     tree = dict(means2d=means2d, depths=depths, conics=conics,
                 colors=cols, opacities=opac_cn)
@@ -276,6 +283,11 @@ def sharded_rasterization(
     if backgrounds is not None:
         gi = jax.lax.axis_index(AXIS)
         bg_l = jax.lax.dynamic_slice_in_dim(backgrounds, gi * Cl, Cl, 0)
+        if render_mode == "RGB+ED":
+            # zero background on the depth channel (rendering.py:139-143)
+            bg_l = jnp.concatenate(
+                [bg_l, jnp.zeros((Cl, 1), bg_l.dtype)], axis=-1
+            )
     img, alp, vmeta = rasterize_to_pixels_v2(
         ex["means2d"], ex["conics"], ex["colors"], ex["opacities"],
         ex["depths"], ex["radii"], width, height, tile_size=tile_size,
@@ -283,6 +295,11 @@ def sharded_rasterization(
         absgrad_probe=ex.get("ag"), cutoff_mode=cutoff_mode,
         grad_dtype=grad_dtype,
     )
+    if render_mode == "RGB+ED":
+        rgb, d = img[..., :-1], img[..., -1:]
+        img = jnp.concatenate(
+            [rgb, d / jnp.clip(alp, 1e-10, None)], axis=-1
+        )
     meta = dict(
         radii=radii, width=width, height=height, n_cameras=C,
         n_isects=jax.lax.pmax(

@@ -214,14 +214,6 @@ class Runner:
                 raise ValueError(
                     "batch_size must be divisible by mesh_devices"
                 )
-            for feat, on in (("pose_opt", cfg.pose_opt),
-                             ("app_opt", cfg.app_opt),
-                             ("use_bilateral_grid", cfg.use_bilateral_grid),
-                             ("depth_loss", cfg.depth_loss)):
-                if on:
-                    raise NotImplementedError(
-                        f"{feat} is not supported with mesh_devices > 1"
-                    )
             cap = -(-cap // G) * G  # gaussian shards must be equal
             self.mesh = make_mesh(G)
 
@@ -429,14 +421,20 @@ class Runner:
                         antialiased=cfg.antialiased,
                         cutoff_mode=cfg.cutoff_mode,
                         grad_dtype=cfg.grad_dtype,
+                        render_mode="RGB+ED" if cfg.depth_loss else "RGB",
                     )
-                    # this device renders/supervises B/G of the cameras
+                    # this device renders/supervises B/G of the cameras:
+                    # slice every per-image quantity to the local cameras
                     Gd = jax.lax.axis_size(AXIS)
                     gi = jax.lax.axis_index(AXIS)
                     Bl = B // Gd
-                    target_l = jax.lax.dynamic_slice_in_dim(
-                        target, gi * Bl, Bl, 0
+                    loc = lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, gi * Bl, Bl, 0
                     )
+                    target_l = loc(target)
+                    idx_l = loc(idx)
+                    pts_l = loc(batch["points"]) if cfg.depth_loss else None
+                    deps_l = loc(batch["depths"]) if cfg.depth_loss else None
                 else:
                     img, alpha, meta = rasterization(
                         means, quats, scales, opac, colors,
@@ -456,6 +454,9 @@ class Runner:
                         grad_dtype=cfg.grad_dtype,
                     )
                     target_l = target
+                    idx_l = idx
+                    pts_l = batch.get("points")
+                    deps_l = batch.get("depths")
                 depth_map = None
                 if cfg.depth_loss:
                     img, depth_map = img[..., :3], img[..., 3:4]
@@ -466,17 +467,21 @@ class Runner:
 
                     img = jax.vmap(
                         bilagrid_slice, in_axes=(None, 0, 0)
-                    )(aux_params["bilagrid"], idx, img)
+                    )(aux_params["bilagrid"], idx_l, img)
                 loss = combined_loss(img, target_l, cfg.ssim_lambda)
                 if cfg.depth_loss:
                     # disparity-space L1 at projected SfM track pixels
                     # (simple_trainer.py:954-967; zero-padded tracks are
                     # masked out)
-                    d_at = _sample_bilinear(depth_map, batch["points"])
-                    valid = batch["depths"] > 0.0
-                    disp = jnp.where(d_at > 0.0, 1.0 / d_at, 0.0)
+                    d_at = _sample_bilinear(depth_map, pts_l)
+                    valid = deps_l > 0.0
+                    # double-where: a bare 1/d_at at empty (d_at == 0)
+                    # pixels makes the masked branch's gradient 0 * inf =
+                    # NaN, which the finite gate then rejects every step
+                    d_safe = jnp.where(d_at > 0.0, d_at, 1.0)
+                    disp = jnp.where(d_at > 0.0, 1.0 / d_safe, 0.0)
                     disp_gt = jnp.where(
-                        valid, 1.0 / jnp.maximum(batch["depths"], 1e-8), 0.0
+                        valid, 1.0 / jnp.maximum(deps_l, 1e-8), 0.0
                     )
                     l1 = jnp.sum(
                         jnp.abs(disp - disp_gt) * valid
@@ -513,6 +518,17 @@ class Runner:
 
                 sim_grads = jax.tree_util.tree_map(
                     lambda gr: jax.lax.psum(gr, AXIS), sim_grads
+                )
+            if is_mesh and aux_txs:
+                # pose/appearance/bilagrid params are replicated too; each
+                # device's grads cover only its camera slice of the loss —
+                # psum makes every device apply the identical full-batch
+                # update, preserving replication (reference trains these
+                # modules under DDP, simple_trainer.py:651-652)
+                from gscodec_studio_tpu.parallel.distributed import AXIS
+
+                aux_grads = jax.tree_util.tree_map(
+                    lambda gr: jax.lax.psum(gr, AXIS), aux_grads
                 )
 
             if aux_txs:
