@@ -206,6 +206,12 @@ def main():
     }
     print(json.dumps(result), flush=True)
 
+    # final model state (full capacity) for later A/B and sweep tooling
+    np.savez(
+        os.path.join(args.result_dir, "splats_final.npz"),
+        **{k: np.asarray(v) for k, v in runner.splats.items()},
+    )
+
     t0 = time.time()
     comp = runner.run_compression(args.steps, method="png")
     comp_res = {

@@ -123,6 +123,15 @@ class V2Cfg(NamedTuple):
     # for SGD, and the per-gaussian SUMS stay f32. "f32" keeps bit-accurate
     # rows for tight oracle parity.
     grad_dtype: str = "f32"
+    # attr_dtype: precision of the NON-GEOMETRY per-intersection attributes
+    # (opacity + colors) in the sorted table. "bf16" packs them as
+    # trunc-bf16 pairs at the expansion output: the tile sort carries 2
+    # fewer payload operands (CH=3) and d_s halves 16 -> 8, halving the
+    # fwd/bwd kernels' chunk-DMA bytes. Geometry rows (x, y, conic) stay
+    # f32 — position error at bf16 would be ~2.5 px at 1297-px widths.
+    # Opacity/color at bf16 is ~2e-3 relative (half an 8-bit color step).
+    # 3DGS layout only (n_attr == 0).
+    attr_dtype: str = "f32"
 
     @property
     def n_tiles(self):
@@ -146,9 +155,26 @@ class V2Cfg(NamedTuple):
         return self.n_attr or (6 + self.channels)
 
     @property
+    def attr_packed(self):
+        return self.attr_dtype == "bf16" and self.n_attr == 0
+
+    @property
+    def n_srows(self):
+        # sorted attr rows before the id row: packed mode keeps geometry
+        # (x, y, ca, cb, cc) f32 and pairs up (op, colors...)
+        if self.attr_packed:
+            return 5 + (self.channels + 2) // 2
+        return self.n_attr_eff
+
+    @property
     def d_s(self):
         # sorted attr rows: attrs..., id
-        return _round8(self.n_attr_eff + 1)
+        return _round8(self.n_srows + 1)
+
+    @property
+    def idrow(self):
+        # id row position within the sorted S table
+        return self.n_srows
 
     @property
     def grad_packed(self):
@@ -170,10 +196,6 @@ class V2Cfg(NamedTuple):
         if self.grad_packed:
             return _round8(self.n_vpairs + 1 + (1 if self.absgrad else 0))
         return _round8(self.n_attr_eff + 1 + (2 if self.absgrad else 0))
-
-    @property
-    def idrow(self):
-        return self.n_attr_eff
 
     @property
     def chp(self):
@@ -427,16 +449,36 @@ def _expand_kernel(cfg: V2Cfg, nattr, g0blk_ref, tot_ref, t_hbm, tile_ref,
         tile_ref[0:1, pl.ds(j * B, B)] = jnp.where(valid, tile, INT32_MAX)
         # id payload (compacted index)
         out_refs[0][0:1, pl.ds(j * B, B)] = sel[_TR_CIDX : _TR_CIDX + 1, :]
-        for a in range(nattr):
-            out_refs[1 + a][0:1, pl.ds(j * B, B)] = sel[
-                _TR_ATTR + a : _TR_ATTR + a + 1, :
-            ]
+        if cfg.attr_packed:
+            # geometry rows stay f32; (op, colors...) ride as bf16 pairs
+            for a in range(5):
+                out_refs[1 + a][0:1, pl.ds(j * B, B)] = sel[
+                    _TR_ATTR + a : _TR_ATTR + a + 1, :
+                ]
+            nval = nattr - 5  # op + CH colors
+            for jp in range((nval + 1) // 2):
+                lo = _TR_ATTR + 5 + 2 * jp
+                a_half = sel[lo : lo + 1, :]
+                b_half = (
+                    sel[lo + 1 : lo + 2, :]
+                    if 2 * jp + 1 < nval
+                    else jnp.zeros_like(a_half)
+                )
+                out_refs[6 + jp][0:1, pl.ds(j * B, B)] = _pack_pair(
+                    a_half, b_half
+                )
+        else:
+            for a in range(nattr):
+                out_refs[1 + a][0:1, pl.ds(j * B, B)] = sel[
+                    _TR_ATTR + a : _TR_ATTR + a + 1, :
+                ]
 
 
 def _run_expand(cfg: V2Cfg, table_T, g0s, total):
     B, SB = EXPAND_B, EXPAND_SB
     cap = cfg.cap
     nattr = cfg.n_attr_eff
+    n_out = cfg.n_srows  # == nattr unless attr_packed
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cap // (B * SB),),
@@ -444,7 +486,7 @@ def _run_expand(cfg: V2Cfg, table_T, g0s, total):
         out_specs=[
             pl.BlockSpec((1, B * SB), lambda i, g, t: (0, i),
                          memory_space=pltpu.VMEM)
-            for _ in range(1 + 1 + nattr)
+            for _ in range(1 + 1 + n_out)
         ],
         scratch_shapes=[
             pltpu.VMEM((SB, cfg.d_t, EXPAND_BW), jnp.float32),
@@ -452,7 +494,7 @@ def _run_expand(cfg: V2Cfg, table_T, g0s, total):
         ],
     )
     out_shapes = [jax.ShapeDtypeStruct((1, cap), jnp.int32)] + [
-        jax.ShapeDtypeStruct((1, cap), jnp.float32) for _ in range(1 + nattr)
+        jax.ShapeDtypeStruct((1, cap), jnp.float32) for _ in range(1 + n_out)
     ]
 
     def kernel(g0blk_ref, tot_ref, t_hbm, tile_ref, *rest):
@@ -563,11 +605,23 @@ def _build_sorted_generic(cfg: V2Cfg, means2d, attr_rows, depths, radii):
         cfg, table_T, g0blk, n_isects.reshape(1)
     )
 
+    if cfg.attr_packed:
+        # packed rows carry bf16-pair bit patterns: ride the sort as int32
+        # so no float canonicalization can touch them
+        attrs = attrs[:5] + [
+            jax.lax.bitcast_convert_type(a, jnp.int32) for a in attrs[5:]
+        ]
     so2 = jax.lax.sort(
         (tile,) + tuple(attrs) + (idf,), num_keys=1, is_stable=True
     )
     tile_sorted = so2[0]
-    S = pack_rows(list(so2[1:]), cfg.d_s, cfg.interpret)
+    sorted_rows = list(so2[1:])
+    if cfg.attr_packed:
+        sorted_rows = sorted_rows[:5] + [
+            jax.lax.bitcast_convert_type(a, jnp.float32)
+            for a in sorted_rows[5:-1]
+        ] + sorted_rows[-1:]
+    S = pack_rows(sorted_rows, cfg.d_s, cfg.interpret)
 
     starts = jnp.searchsorted(
         tile_sorted, jnp.arange(cfg.n_tiles_v + 1, dtype=jnp.int32),
@@ -621,6 +675,21 @@ def _pixel_coords(cfg: V2Cfg, t):
     return px, py
 
 
+def _chunk_colors(cfg, chunk):
+    """(CH, K) color block of a sorted-table chunk (unpacks bf16 pairs
+    when cfg.attr_packed: values [op, c0, c1, ...] ride rows 5.. as
+    pairs)."""
+    CH = cfg.channels
+    if not cfg.attr_packed:
+        return chunk[6:6 + CH, :]
+    cols = []
+    for i in range(CH):
+        pair, half = divmod(1 + i, 2)
+        a, b = _unpack_pair(chunk[5 + pair:6 + pair, :])
+        cols.append(b if half else a)
+    return jnp.concatenate(cols, axis=0)
+
+
 def _chunk_pair(cfg, chunk, px, py, c, off, end):
     """Per-chunk pair math in (P, K); returns dict of (P,K)/(1,K) maps.
 
@@ -630,7 +699,10 @@ def _chunk_pair(cfg, chunk, px, py, c, off, end):
     matmul form made both kernels ~35% slower)."""
     xs, ys = chunk[0:1, :], chunk[1:2, :]
     ca, cb, cc = chunk[2:3, :], chunk[3:4, :], chunk[4:5, :]
-    op = chunk[5:6, :]
+    if cfg.attr_packed:
+        op, _ = _unpack_pair(chunk[5:6, :])
+    else:
+        op = chunk[5:6, :]
     dx = xs - px  # (P, K)
     dy = ys - py
     sigma = (0.5 * ca) * (dx * dx) + (0.5 * cc) * (dy * dy) + cb * (dx * dy)
@@ -722,7 +794,7 @@ def _fwd_kernel(cfg: V2Cfg, starts_ref, masks_ref, s_hbm, out_ref, bufs,
             pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
             w, m, t_prev, t_new = _composite(pr["alpha"], t_cur, cfg.cutoff)
             acc = acc + jax.lax.dot_general(
-                w, chunk[6:6 + CH, :],
+                w, _chunk_colors(cfg, chunk),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (P, CH)
@@ -814,7 +886,7 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
     CH = cfg.channels
     G = cfg.tiles_per_step
     step = pl.program_id(0)
-    idrow = 6 + CH
+    idrow = cfg.idrow
 
     def dma(g, slot, c):
         return pltpu.make_async_copy(
@@ -916,7 +988,7 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
 
             # G[p, k] = sum_ch color_k[ch] * v_c[p, ch]
             Gpk = jax.lax.dot_general(
-                v_c, chunk[6:6 + CH, :],
+                v_c, _chunk_colors(cfg, chunk),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (P, K)
@@ -1526,6 +1598,7 @@ def rasterize_to_pixels_v2(
     absgrad_probe: Optional[jnp.ndarray] = None,  # [C, N, 2] zeros
     cutoff_mode: str = "exact",
     grad_dtype: str = "f32",
+    attr_dtype: str = "f32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Differentiable fused binning + tile rasterization.
 
@@ -1546,7 +1619,7 @@ def rasterize_to_pixels_v2(
         C=C, tile_width=TW, tile_height=TH, tile_size=tile_size,
         channels=CH, cap=cap, n=N, tiles_per_step=tiles_per_step,
         interpret=interpret, absgrad=absgrad_probe is not None,
-        cutoff=cutoff_mode, grad_dtype=grad_dtype,
+        cutoff=cutoff_mode, grad_dtype=grad_dtype, attr_dtype=attr_dtype,
     )
     if masks is not None:
         masks_arr = masks.reshape(C * TH * TW).astype(jnp.int32)

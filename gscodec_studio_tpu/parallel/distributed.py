@@ -216,6 +216,7 @@ def sharded_rasterization(
     antialiased: bool = False,
     cutoff_mode: str = "soft",
     grad_dtype: str = "f32",
+    attr_dtype: str = "f32",
     render_mode: str = "RGB",
 ):
     """Trainer-grade inside-shard_map rasterization on the fused v2 backend.
@@ -293,7 +294,7 @@ def sharded_rasterization(
         ex["depths"], ex["radii"], width, height, tile_size=tile_size,
         isect_capacity=isect_capacity, backgrounds=bg_l,
         absgrad_probe=ex.get("ag"), cutoff_mode=cutoff_mode,
-        grad_dtype=grad_dtype,
+        grad_dtype=grad_dtype, attr_dtype=attr_dtype,
     )
     if render_mode == "RGB+ED":
         rgb, d = img[..., :-1], img[..., -1:]

@@ -63,6 +63,8 @@ def rasterization(
     cutoff_mode: str = "exact",  # fused only: "soft" = chunk-granular
     # early-out (cheaper pair math, sub-1e-4 tail admitted)
     grad_dtype: str = "f32",  # fused only: per-isect grad row precision
+    attr_dtype: str = "f32",  # fused only: sorted-table opacity/color rows
+    # as bf16 pairs (fewer tile-sort payloads, half the kernel DMA bytes)
     means2d_probe: Optional[jnp.ndarray] = None,
     absgrad_probe: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
@@ -180,7 +182,7 @@ def rasterization(
                 width, height, tile_size=tile_size,
                 isect_capacity=isect_capacity, backgrounds=bgs,
                 absgrad_probe=absgrad_probe, cutoff_mode=cutoff_mode,
-                grad_dtype=grad_dtype,
+                grad_dtype=grad_dtype, attr_dtype=attr_dtype,
             )
             chunks.append(img)
         render_colors = (

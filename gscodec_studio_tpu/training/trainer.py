@@ -122,6 +122,8 @@ class Config:
     # garden_ladder_r3 scalars). bf16 stays as an opt-in perf mode until
     # the instability is root-caused.
     grad_dtype: str = "f32"
+    # sorted-table opacity/color rows as bf16 pairs (see V2Cfg.attr_dtype)
+    attr_dtype: str = "f32"
 
     # Multi-chip training: shard the gaussians over a 1-D device mesh and
     # run the train step under shard_map with the fused v2 backend per
@@ -421,6 +423,7 @@ class Runner:
                         antialiased=cfg.antialiased,
                         cutoff_mode=cfg.cutoff_mode,
                         grad_dtype=cfg.grad_dtype,
+                        attr_dtype=cfg.attr_dtype,
                         render_mode="RGB+ED" if cfg.depth_loss else "RGB",
                     )
                     # this device renders/supervises B/G of the cameras:
@@ -452,6 +455,7 @@ class Runner:
                         rasterizer=cfg.rasterizer,
                         cutoff_mode=cfg.cutoff_mode,
                         grad_dtype=cfg.grad_dtype,
+                        attr_dtype=cfg.attr_dtype,
                     )
                     target_l = target
                     idx_l = idx

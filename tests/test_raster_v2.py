@@ -86,6 +86,44 @@ def test_v2_backward_matches_oracle(rng, grad_dtype, atol):
         )
 
 
+def test_v2_attr_packed_close_to_exact(rng):
+    """attr_dtype="bf16" packs opacity/color table rows as trunc-bf16
+    pairs (geometry stays f32): forward must track the f32 path within
+    bf16 resolution (~2e-3 relative on colors/alpha) and gradients must
+    stay finite and close."""
+    img_p, alp_p, img_ref, alp_ref, args, bg = _run_both(
+        rng, C=2, CH=3, attr_dtype="bf16"
+    )
+    np.testing.assert_allclose(img_p, img_ref, rtol=0, atol=2e-2)
+    np.testing.assert_allclose(alp_p, alp_ref, rtol=0, atol=2e-2)
+
+    W, H = 48, 32
+    depths, radii = args[4], args[5]
+    tgt = jnp.asarray(
+        np.random.default_rng(7).random(np.asarray(img_p).shape, np.float32)
+    )
+
+    def loss(attr_dtype):
+        def f(means2d, conics, colors, opacities):
+            img, alp, _ = rasterize_to_pixels_v2(
+                means2d, conics, colors, opacities, depths, radii, W, H,
+                tile_size=16, isect_capacity=8192, backgrounds=bg,
+                attr_dtype=attr_dtype,
+            )
+            return jnp.sum((img - tgt) ** 2) + 0.3 * jnp.sum(alp**2)
+        return f
+
+    gv = jax.grad(loss("bf16"), argnums=(0, 1, 2, 3))(*args[:4])
+    gr = jax.grad(loss("f32"), argnums=(0, 1, 2, 3))(*args[:4])
+    for name, a, b in zip(["means2d", "conics", "colors", "opacities"], gv, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a)), name
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(
+            a / scale, b / scale, rtol=0, atol=3e-2, err_msg=name
+        )
+
+
 def test_v2_empty_scene(rng):
     C, N, W, H, CH = 1, 16, 32, 32, 3
     means2d = jnp.zeros((C, N, 2))
