@@ -1462,12 +1462,38 @@ def _reduce_grads(cfg: V2Cfg, gbuf, aux):
         segvals = [v[:M] for v in segvals]
 
     # back to original order
-    so3 = jax.lax.sort(
-        (aux["origid_s"],) + tuple(segvals), num_keys=1, is_stable=False
-    )
-    v_flat = jnp.stack(so3[1 : 1 + na], axis=-1)  # [M, n_attr_eff]
+    if cfg.grad_packed:
+        # pack the per-gaussian sums as trunc-bf16 pairs for the M-scale
+        # unsort too (payloads ~halve; ~2e-3 relative noise on final grads,
+        # same budget as the packed rows). int32 so the sort can't
+        # canonicalize the pair bit patterns.
+        pairs = []
+        for i in range(0, nval, 2):
+            b_half = (
+                segvals[i + 1] if i + 1 < nval
+                else jnp.zeros_like(segvals[i])
+            )
+            pairs.append(jax.lax.bitcast_convert_type(
+                _pack_pair(segvals[i], b_half), jnp.int32
+            ))
+        so3 = jax.lax.sort(
+            (aux["origid_s"],) + tuple(pairs), num_keys=1, is_stable=False
+        )
+        vals = []
+        for p in so3[1:]:
+            a_half, b_half = _unpack_pair(
+                jax.lax.bitcast_convert_type(p, jnp.float32)
+            )
+            vals += [a_half, b_half]
+        vals = vals[:nval]
+    else:
+        so3 = jax.lax.sort(
+            (aux["origid_s"],) + tuple(segvals), num_keys=1, is_stable=False
+        )
+        vals = list(so3[1 : 1 + nval])
+    v_flat = jnp.stack(vals[:na], axis=-1)  # [M, n_attr_eff]
     absg = (
-        jnp.stack(so3[1 + na : 1 + nval], axis=-1)
+        jnp.stack(vals[na:nval], axis=-1)
         if cfg.absgrad else None
     )
     return v_flat, absg
