@@ -223,6 +223,7 @@ def fully_fused_projection(
     radius_clip: float = 0.0,
     calc_compensations: bool = False,
     camera_model: str = "pinhole",
+    opacities: Optional[jnp.ndarray] = None,  # [N] linear opacity
 ):
     """Fused world->2D projection with culling, matching the reference op
     (``_wrapper.py:203`` / fully_fused_projection_fwd.cu).
@@ -243,6 +244,7 @@ def fully_fused_projection(
         return _fused_projection_pinhole(
             means, quats, scales, viewmats, Ks, width, height, eps2d,
             near_plane, far_plane, radius_clip, calc_compensations,
+            opacities,
         )
     if covars is None:
         assert quats is not None and scales is not None
@@ -272,10 +274,22 @@ def fully_fused_projection(
         axis=-1,
     )  # [C, N, 3]
 
-    # 3-sigma radius from the max eigenvalue (fwd.cu:163-168).
+    # 3-sigma radius from the max eigenvalue (fwd.cu:163-168); with
+    # opacities given, tightened to the EXACT alpha-threshold extent
+    # min(3, sqrt(2 ln(255 op))) * sigma — every pair beyond it satisfies
+    # alpha = op*exp(-d^2/(2 v1)) < 1/255 and would be zeroed by the
+    # rasterizer anyway, so this only removes dead intersections (the fix
+    # for low-opacity ballooned splats flooding the isect buffer).
     b = 0.5 * (covars2d[..., 0, 0] + covars2d[..., 1, 1])
     v1 = b + jnp.sqrt(jnp.maximum(0.01, b * b - det))
-    radius = jnp.ceil(3.0 * jnp.sqrt(v1))
+    nsig = 3.0
+    if opacities is not None:
+        nsig = jnp.minimum(
+            3.0,
+            jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1e-30))),
+        )[None, :]
+        nsig = jnp.maximum(nsig, 0.0)
+    radius = jnp.ceil(nsig * jnp.sqrt(v1))
 
     # Culling (fwd.cu:74-77, 155-183): near/far, det>0, radius_clip, image bounds.
     valid = (depths > near_plane) & (depths < far_plane) & (det > 0)
@@ -297,7 +311,7 @@ def fully_fused_projection(
 
 def _fused_projection_pinhole(
     means, quats, scales, viewmats, Ks, width, height, eps2d, near_plane,
-    far_plane, radius_clip, calc_compensations,
+    far_plane, radius_clip, calc_compensations, opacities=None,
 ):
     """Pinhole fast path: the entire chain as elementwise component math."""
     R = viewmats[:, :3, :3]  # [C, 3, 3]
@@ -350,7 +364,14 @@ def _fused_projection_pinhole(
 
     b = 0.5 * (cov00 + cov11)
     v1 = b + jnp.sqrt(jnp.maximum(0.01, b * b - det))
-    radius = jnp.ceil(3.0 * jnp.sqrt(v1))
+    nsig = 3.0
+    if opacities is not None:
+        # exact alpha-threshold extent (see fully_fused_projection)
+        nsig = jnp.maximum(jnp.minimum(
+            3.0,
+            jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1e-30))),
+        ), 0.0)[None, :]
+    radius = jnp.ceil(nsig * jnp.sqrt(v1))
 
     valid = (depths > near_plane) & (depths < far_plane) & (det > 0)
     valid &= radius > radius_clip

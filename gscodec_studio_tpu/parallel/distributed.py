@@ -158,7 +158,7 @@ def rasterize_sharded(
 
     radii, means2d, depths, conics, _ = fully_fused_projection(
         means, None, quats, scales, viewmats, Ks, width, height,
-        near_plane=near_plane, far_plane=far_plane,
+        near_plane=near_plane, far_plane=far_plane, opacities=opacities,
     )
     radii = jnp.where(opacities[None, :] >= 1.0 / 255.0, radii, 0)
 
@@ -236,7 +236,7 @@ def sharded_rasterization(
     radii, means2d, depths, conics, comps = fully_fused_projection(
         means, None, quats, scales, viewmats, Ks, width, height,
         near_plane=near_plane, far_plane=far_plane,
-        calc_compensations=antialiased,
+        calc_compensations=antialiased, opacities=opacities,
     )
     radii = jnp.where(opacities[None, :] >= 1.0 / 255.0, radii, 0)
     opac_cn = jnp.broadcast_to(opacities[None, :], (C, Nl))

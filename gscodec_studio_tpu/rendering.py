@@ -98,6 +98,7 @@ def rasterization(
         radius_clip=radius_clip,
         calc_compensations=calc_compensations,
         camera_model=camera_model,
+        opacities=opacities,  # opacity-aware tight radius (exact culling)
     )
     # Opacity culling: a splat with linear opacity < 1/255 can never pass the
     # kernel's alpha threshold (alpha = op*exp(-sigma) <= op), so drop it from
