@@ -52,6 +52,8 @@ def make_scene(n=1_000_000, width=1297, height=840, seed=0):
 
 
 def main():
+    import os
+
     import jax
 
     # Persistent compilation cache: repeated bench runs skip the (slow,
@@ -75,6 +77,9 @@ def main():
                 means, quats, scales, opacities, colors, viewmats, Ks,
                 width, height, sh_degree=3, isect_capacity=isect_capacity,
                 cutoff_mode="soft",  # the trainer's production default
+                # A/B knobs (default = the trainer's production defaults)
+                grad_dtype=os.environ.get("GSC_BENCH_GRAD_DTYPE", "f32"),
+                attr_dtype=os.environ.get("GSC_BENCH_ATTR_DTYPE", "f32"),
             )
             return jnp.mean((img - 0.5) ** 2) + 0.1 * jnp.mean(alpha)
 

@@ -78,7 +78,7 @@ def main():
     def project_radii(vm, K):
         radii, *_ = fully_fused_projection(
             means, None, quats, scales, vm, K,
-            args.width, args.height,
+            args.width, args.height, opacities=opac,
         )
         return radii * (opac[None, :] >= 1.0 / 255.0)
 

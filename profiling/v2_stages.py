@@ -34,7 +34,11 @@ def main():
     C, N = 1, means.shape[0]
     cfg = rv.V2Cfg(C=C, tile_width=TW, tile_height=TH, tile_size=ts,
                    channels=3, cap=cap, n=N, tiles_per_step=g_t,
-                   interpret=False, absgrad=False)
+                   interpret=False, absgrad=False,
+                   grad_dtype=os.environ.get("GSC_GRAD_DTYPE", "f32"),
+                   attr_dtype=os.environ.get("GSC_ATTR_DTYPE", "f32"))
+    print("grad_dtype", cfg.grad_dtype, "attr_dtype", cfg.attr_dtype,
+          "d_s", cfg.d_s, "d_g", cfg.d_g, flush=True)
 
     def t(name, body, a, K=4):
         per = honest_timer(body, a, K=K, repeats=2)
@@ -109,7 +113,7 @@ def main():
     slot_base = jnp.concatenate(
         [slot_base, jnp.broadcast_to(slot_base[-1:], (pad,))])
     vt = jnp.ones_like(tiles_out)
-    idrow = 6 + 3
+    idrow = cfg.gidrow
     gbuf_init = jnp.zeros((cfg.d_g, cfg.slot_cap * rv.K), jnp.float32)
     gbuf_init = gbuf_init.at[idrow].set(rv.PAD_ID)
     padt = lambda x: jnp.concatenate(
@@ -173,7 +177,8 @@ def main():
     def red_segsum(c, ids_s, *vals):
         rows = list(vals[:nval]) + [ids_s + c * 0.0]
         packed = rv.pack_rows(rows, cfg.d_g, cfg.interpret)
-        seg = rv.segsum_rows(packed, bounds, idrow, nblk, cfg.interpret)
+        seg = rv.segsum_rows(packed, bounds, idrow, nblk, cfg.interpret,
+                             packed_pairs=cfg.grad_packed)
         return s_(seg, c)
 
     t("  pack + segsum_rows", red_segsum, (so[0],) + tuple(so[1:]))
@@ -183,11 +188,12 @@ def main():
             list(vals) + [ids_s], cfg.d_g, cfg.interpret)
     )(so[0], *so[1:])
     seg = jax.jit(
-        lambda p: rv.segsum_rows(p, bounds, idrow, nblk, cfg.interpret)
+        lambda p: rv.segsum_rows(p, bounds, idrow, nblk, cfg.interpret,
+                                 packed_pairs=cfg.grad_packed)
     )(packed)
 
     def red_final(c, seg, origid):
-        segrows = rv.unpack_rows(seg + c * 0.0, idrow, cfg.interpret)
+        segrows = rv.unpack_rows(seg + c * 0.0, max(idrow, 1), cfg.interpret)
         segvals = [v[:M] for v in segrows[:nval]]
         so3 = jax.lax.sort((origid,) + tuple(segvals), num_keys=1,
                            is_stable=False)
