@@ -182,7 +182,9 @@ def main():
         rd_lambda=args.rd_lambda,
         grad_dtype=args.grad_dtype,
         seed=args.seed,
-        eval_steps=(), save_steps=(),
+        # mid-run quality evidence + a restartable checkpoint
+        eval_steps=(args.steps // 4, args.steps // 2, 3 * args.steps // 4),
+        save_steps=(args.steps // 2,),
     )
     runner = Runner(cfg, parser=parser, trainset=train_views,
                     valset=val_views)

@@ -224,6 +224,7 @@ def fully_fused_projection(
     calc_compensations: bool = False,
     camera_model: str = "pinhole",
     opacities: Optional[jnp.ndarray] = None,  # [N] linear opacity
+    elliptical: bool = False,  # radii as per-axis AABB half-widths [C,N,2]
 ):
     """Fused world->2D projection with culling, matching the reference op
     (``_wrapper.py:203`` / fully_fused_projection_fwd.cu).
@@ -244,7 +245,7 @@ def fully_fused_projection(
         return _fused_projection_pinhole(
             means, quats, scales, viewmats, Ks, width, height, eps2d,
             near_plane, far_plane, radius_clip, calc_compensations,
-            opacities,
+            opacities, elliptical,
         )
     if covars is None:
         assert quats is not None and scales is not None
@@ -289,16 +290,29 @@ def fully_fused_projection(
             jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1e-30))),
         )[None, :]
         nsig = jnp.maximum(nsig, 0.0)
-    radius = jnp.ceil(nsig * jnp.sqrt(v1))
+    if elliptical:
+        # exact AABB of the nsig iso-ellipse: half-width along x is
+        # nsig*sqrt(Sigma_00) (max |dx| on {d: 0.5 d^T Sigma^-1 d <=
+        # nsig^2/2}) — far tighter than the circumscribed circle's square
+        # for elongated splats, directly cutting binned tile count
+        rx = jnp.ceil(nsig * jnp.sqrt(jnp.maximum(covars2d[..., 0, 0], 0.0)))
+        ry = jnp.ceil(nsig * jnp.sqrt(jnp.maximum(covars2d[..., 1, 1], 0.0)))
+    else:
+        rx = ry = jnp.ceil(nsig * jnp.sqrt(v1))
 
     # Culling (fwd.cu:74-77, 155-183): near/far, det>0, radius_clip, image bounds.
     valid = (depths > near_plane) & (depths < far_plane) & (det > 0)
-    valid &= radius > radius_clip
+    valid &= jnp.maximum(rx, ry) > radius_clip
     x2d, y2d = means2d[..., 0], means2d[..., 1]
-    valid &= (x2d + radius > 0) & (x2d - radius < width)
-    valid &= (y2d + radius > 0) & (y2d - radius < height)
+    valid &= (x2d + rx > 0) & (x2d - rx < width)
+    valid &= (y2d + ry > 0) & (y2d - ry < height)
 
-    radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    if elliptical:
+        radii = jnp.where(
+            valid[..., None], jnp.stack([rx, ry], axis=-1), 0.0
+        ).astype(jnp.int32)
+    else:
+        radii = jnp.where(valid, rx, 0.0).astype(jnp.int32)
     zero = jnp.zeros((), dtype=means2d.dtype)
     means2d = jnp.where(valid[..., None], means2d, zero)
     depths = jnp.where(valid, depths, zero)
@@ -312,6 +326,7 @@ def fully_fused_projection(
 def _fused_projection_pinhole(
     means, quats, scales, viewmats, Ks, width, height, eps2d, near_plane,
     far_plane, radius_clip, calc_compensations, opacities=None,
+    elliptical=False,
 ):
     """Pinhole fast path: the entire chain as elementwise component math."""
     R = viewmats[:, :3, :3]  # [C, 3, 3]
@@ -371,15 +386,25 @@ def _fused_projection_pinhole(
             3.0,
             jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1e-30))),
         ), 0.0)[None, :]
-    radius = jnp.ceil(nsig * jnp.sqrt(v1))
+    if elliptical:
+        # per-axis AABB of the nsig iso-ellipse (see fully_fused_projection)
+        rx = jnp.ceil(nsig * jnp.sqrt(jnp.maximum(cov00, 0.0)))
+        ry = jnp.ceil(nsig * jnp.sqrt(jnp.maximum(cov11, 0.0)))
+    else:
+        rx = ry = jnp.ceil(nsig * jnp.sqrt(v1))
 
     valid = (depths > near_plane) & (depths < far_plane) & (det > 0)
-    valid &= radius > radius_clip
-    valid &= (x2d + radius > 0) & (x2d - radius < width)
-    valid &= (y2d + radius > 0) & (y2d - radius < height)
+    valid &= jnp.maximum(rx, ry) > radius_clip
+    valid &= (x2d + rx > 0) & (x2d - rx < width)
+    valid &= (y2d + ry > 0) & (y2d - ry < height)
 
     zero = jnp.zeros((), depths.dtype)
-    radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    if elliptical:
+        radii = jnp.where(
+            valid[..., None], jnp.stack([rx, ry], axis=-1), 0.0
+        ).astype(jnp.int32)
+    else:
+        radii = jnp.where(valid, rx, 0.0).astype(jnp.int32)
     means2d = jnp.stack(
         [jnp.where(valid, x2d, zero), jnp.where(valid, y2d, zero)], axis=-1
     )

@@ -328,16 +328,25 @@ def unpack_rows(block: jnp.ndarray, n: int, interpret: bool):
 
 def tile_counts(means2d, radii, tile_size, tile_width, tile_height):
     """Per-Gaussian tile-rectangle bounds + counts (isect_tiles.cu:49-77 /
-    _torch_impl.py:351-360 rule)."""
+    _torch_impl.py:351-360 rule). ``radii`` may be scalar per Gaussian
+    ([..., N], circumscribed square) or per-axis AABB half-widths
+    ([..., N, 2], elliptical binning — tighter rects for elongated
+    splats)."""
     dt = means2d.dtype
     tm = means2d / tile_size
-    tr = radii.astype(dt) / tile_size
-    x0 = jnp.clip(jnp.floor(tm[..., 0] - tr), 0, tile_width).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(tm[..., 1] - tr), 0, tile_height).astype(jnp.int32)
-    x1 = jnp.clip(jnp.ceil(tm[..., 0] + tr), 0, tile_width).astype(jnp.int32)
-    y1 = jnp.clip(jnp.ceil(tm[..., 1] + tr), 0, tile_height).astype(jnp.int32)
+    if radii.ndim == means2d.ndim:  # [..., N, 2]
+        trx = radii[..., 0].astype(dt) / tile_size
+        try_ = radii[..., 1].astype(dt) / tile_size
+        alive = jnp.maximum(radii[..., 0], radii[..., 1]) > 0
+    else:
+        trx = try_ = radii.astype(dt) / tile_size
+        alive = radii > 0
+    x0 = jnp.clip(jnp.floor(tm[..., 0] - trx), 0, tile_width).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(tm[..., 1] - try_), 0, tile_height).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil(tm[..., 0] + trx), 0, tile_width).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil(tm[..., 1] + try_), 0, tile_height).astype(jnp.int32)
     nx = x1 - x0
-    counts = jnp.where(radii > 0, nx * (y1 - y0), 0)
+    counts = jnp.where(alive, nx * (y1 - y0), 0)
     return x0, y0, nx, counts
 
 
@@ -553,17 +562,26 @@ def _build_sorted_generic(cfg: V2Cfg, means2d, attr_rows, depths, radii):
     )
     origid = jnp.arange(M, dtype=jnp.float32)
 
-    ops = (
-        depth_key,
-        radii.reshape(M).astype(jnp.float32),
-    ) + tuple(attr_rows) + (origid,)
+    ell = radii.ndim == means2d.ndim  # [C, N, 2] elliptical AABB
+    if ell:
+        rad_rows = (
+            radii[..., 0].reshape(M).astype(jnp.float32),
+            radii[..., 1].reshape(M).astype(jnp.float32),
+        )
+    else:
+        rad_rows = (radii.reshape(M).astype(jnp.float32),)
+    nrad = len(rad_rows)
+    ops = (depth_key,) + rad_rows + tuple(attr_rows) + (origid,)
     so = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    radius_s = so[1]
     origid_s = so[-1]
     # recompute rect/counts in sorted order (attr rows 0, 1 are x, y)
-    m2d_s = jnp.stack([so[2], so[3]], axis=-1)
+    m2d_s = jnp.stack([so[1 + nrad], so[2 + nrad]], axis=-1)
+    if ell:
+        radius_s = jnp.stack([so[1], so[2]], axis=-1).astype(jnp.int32)
+    else:
+        radius_s = so[1].astype(jnp.int32)
     x0s, y0s, nxs, counts_si = tile_counts(
-        m2d_s, radius_s.astype(jnp.int32), ts, TW, TH
+        m2d_s, radius_s, ts, TW, TH
     )
     counts_s = counts_si.astype(jnp.float32)
     cam_s = jnp.floor(origid_s / float(N))
@@ -594,7 +612,7 @@ def _build_sorted_generic(cfg: V2Cfg, means2d, attr_rows, depths, radii):
         padv(base_s, 0.0),
         padv(jnp.maximum(nxs, 1).astype(jnp.float32), 1.0),
         padv(jnp.arange(M, dtype=jnp.float32), 0.0),
-    ] + [padv(so[2 + i], 0.0) for i in range(cfg.n_attr_eff)]
+    ] + [padv(so[1 + nrad + i], 0.0) for i in range(cfg.n_attr_eff)]
     table_T = pack_rows(rows, cfg.d_t, cfg.interpret)
 
     g0s = jnp.searchsorted(
@@ -1543,12 +1561,12 @@ def _raster_core_fwd(cfg, means2d, conics, colors, opacities, depths, radii,
     sp = _starts_padded(cfg, starts)
     mp = _masks_padded(cfg, masks)
     tiles_out = _run_fwd(cfg, S, sp, mp)  # [n_tiles, P, CHP]
-    res = (S, starts, tiles_out, aux, mp, masks.shape)
+    res = (S, starts, tiles_out, aux, mp, masks.shape, radii.shape)
     return (tiles_out, aux["n_isects"]), res
 
 
 def _raster_core_bwd(cfg, res, cot):
-    S, starts, tiles_out, aux, mp, mask_shape = res
+    S, starts, tiles_out, aux, mp, mask_shape, radii_shape = res
     vt, _ = cot  # [n_tiles, P, CHP]
     vt = vt.astype(jnp.float32)
     CH = cfg.channels
@@ -1592,7 +1610,7 @@ def _raster_core_bwd(cfg, res, cot):
     return (
         v_means2d, v_conics, v_colors, v_opac,
         jnp.zeros((C, N), jnp.float32),  # depths (sort order is nondiff)
-        np.zeros((C, N), jax.dtypes.float0),  # radii (int)
+        np.zeros(radii_shape, jax.dtypes.float0),  # radii (int)
         np.zeros(mask_shape, jax.dtypes.float0),  # masks (int)
         v_ag,  # absgrad surfaced as the probe's cotangent
     )

@@ -45,7 +45,11 @@ def rasterize_to_pixels_ref(
     tile_height = -(-height // tile_size)
 
     # Depth sort per camera (invisible gaussians to the back).
-    order = jnp.argsort(jnp.where(radii > 0, depths, jnp.inf), axis=1)  # [C, N]
+    alive0 = (
+        jnp.maximum(radii[..., 0], radii[..., 1])
+        if radii.ndim == means2d.ndim else radii
+    ) > 0
+    order = jnp.argsort(jnp.where(alive0, depths, jnp.inf), axis=1)  # [C, N]
     gather = lambda x: jnp.take_along_axis(
         x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1
     )
@@ -68,12 +72,19 @@ def rasterize_to_pixels_ref(
     alpha = jnp.minimum(MAX_ALPHA, opacities[..., None, None] * jnp.exp(-sigma))
 
     # Tile-inclusion rule (isect_tiles bounds, _torch_impl.py:351-360).
-    tr = radii.astype(means2d.dtype) / tile_size
+    # radii may be scalar [C, N] or per-axis AABB [C, N, 2] (elliptical).
+    if radii.ndim == means2d.ndim:
+        trx = radii[..., 0].astype(means2d.dtype) / tile_size
+        try_ = radii[..., 1].astype(means2d.dtype) / tile_size
+        alive = jnp.maximum(radii[..., 0], radii[..., 1]) > 0
+    else:
+        trx = try_ = radii.astype(means2d.dtype) / tile_size
+        alive = radii > 0
     tm = means2d / tile_size
-    tile_min_x = jnp.clip(jnp.floor(tm[..., 0] - tr), 0, tile_width)
-    tile_min_y = jnp.clip(jnp.floor(tm[..., 1] - tr), 0, tile_height)
-    tile_max_x = jnp.clip(jnp.ceil(tm[..., 0] + tr), 0, tile_width)
-    tile_max_y = jnp.clip(jnp.ceil(tm[..., 1] + tr), 0, tile_height)
+    tile_min_x = jnp.clip(jnp.floor(tm[..., 0] - trx), 0, tile_width)
+    tile_min_y = jnp.clip(jnp.floor(tm[..., 1] - try_), 0, tile_height)
+    tile_max_x = jnp.clip(jnp.ceil(tm[..., 0] + trx), 0, tile_width)
+    tile_max_y = jnp.clip(jnp.ceil(tm[..., 1] + try_), 0, tile_height)
     ptx = (jnp.arange(width) // tile_size).astype(means2d.dtype)  # [W]
     pty = (jnp.arange(height) // tile_size).astype(means2d.dtype)  # [H]
     in_x = (ptx[None, None, None, :] >= tile_min_x[..., None, None]) & (
@@ -82,7 +93,7 @@ def rasterize_to_pixels_ref(
     in_y = (pty[None, None, :, None] >= tile_min_y[..., None, None]) & (
         pty[None, None, :, None] < tile_max_y[..., None, None]
     )
-    visible = in_x & in_y & (radii > 0)[..., None, None]
+    visible = in_x & in_y & alive[..., None, None]
     if masks is not None:
         # Per-tile mask: pixels of disabled tiles render nothing
         # (rasterization.py `masks` arg semantics).

@@ -233,12 +233,18 @@ def sharded_rasterization(
     C = viewmats.shape[0]
     Nl = means.shape[0]
 
-    radii, means2d, depths, conics, comps = fully_fused_projection(
+    radii2, means2d, depths, conics, comps = fully_fused_projection(
         means, None, quats, scales, viewmats, Ks, width, height,
         near_plane=near_plane, far_plane=far_plane,
         calc_compensations=antialiased, opacities=opacities,
+        elliptical=True,
     )
-    radii = jnp.where(opacities[None, :] >= 1.0 / 255.0, radii, 0)
+    radii2 = jnp.where(
+        (opacities[None, :] >= 1.0 / 255.0)[..., None], radii2, 0
+    )
+    # scalar max-radius drives visibility/meta; the per-axis AABB rides the
+    # exchange for the rasterizer's elliptical binning
+    radii = jnp.max(radii2, axis=-1)
     opac_cn = jnp.broadcast_to(opacities[None, :], (C, Nl))
     if antialiased:
         opac_cn = opac_cn * comps
@@ -266,14 +272,17 @@ def sharded_rasterization(
         assert render_mode == "RGB", render_mode
 
     tree = dict(means2d=means2d, depths=depths, conics=conics,
-                colors=cols, opacities=opac_cn)
+                colors=cols, opacities=opac_cn, radii2=radii2)
     if absgrad_probe is not None:
         tree["ag"] = absgrad_probe
     if exchange_cap is not None:
         ex, radii_ex, diag = _exchange_bucketed(tree, radii, exchange_cap)
-        ex["radii"] = radii_ex
+        # dropped/padding rows must not bin: zero their AABBs too
+        ex["radii2"] = jnp.where(
+            (radii_ex > 0)[..., None], ex["radii2"], 0
+        )
     else:
-        ex = _exchange(dict(tree, radii=radii))
+        ex = _exchange(tree)
         diag = {"overflow": jnp.int32(0),
                 "sent_rows": jnp.int32(radii.size),
                 "dense_rows": jnp.int32(radii.size)}
@@ -291,7 +300,7 @@ def sharded_rasterization(
             )
     img, alp, vmeta = rasterize_to_pixels_v2(
         ex["means2d"], ex["conics"], ex["colors"], ex["opacities"],
-        ex["depths"], ex["radii"], width, height, tile_size=tile_size,
+        ex["depths"], ex["radii2"], width, height, tile_size=tile_size,
         isect_capacity=isect_capacity, backgrounds=bg_l,
         absgrad_probe=ex.get("ag"), cutoff_mode=cutoff_mode,
         grad_dtype=grad_dtype, attr_dtype=attr_dtype,

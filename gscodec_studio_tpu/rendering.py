@@ -83,6 +83,10 @@ def rasterization(
     assert rasterize_mode in ("classic", "antialiased"), rasterize_mode
 
     calc_compensations = rasterize_mode == "antialiased"
+    # the fused backend bins with per-axis elliptical AABBs (tighter rects
+    # for elongated splats -> fewer intersections); other backends expect
+    # the reference scalar radius
+    elliptical = rasterizer == "fused"
     radii, means2d, depths, conics, compensations = fully_fused_projection(
         means,
         None,
@@ -99,12 +103,17 @@ def rasterization(
         calc_compensations=calc_compensations,
         camera_model=camera_model,
         opacities=opacities,  # opacity-aware tight radius (exact culling)
+        elliptical=elliptical,
     )
     # Opacity culling: a splat with linear opacity < 1/255 can never pass the
     # kernel's alpha threshold (alpha = op*exp(-sigma) <= op), so drop it from
     # binning. This is exact, and it is what makes dead capacity slots
     # (models/splats.py) free: they never reach the intersection buffer.
-    radii = jnp.where(opacities[None, :] >= 1.0 / 255.0, radii, 0)
+    opac_ok = opacities[None, :] >= 1.0 / 255.0
+    radii = jnp.where(
+        opac_ok[..., None] if elliptical else opac_ok, radii, 0
+    )
+    radii_scalar = jnp.max(radii, axis=-1) if elliptical else radii
 
     if means2d_probe is not None:
         # Zero-valued probe whose gradient is the screen-space position
@@ -130,7 +139,9 @@ def rasterization(
         shs = colors if colors.ndim == 4 else jnp.broadcast_to(
             colors[None], (C,) + colors.shape
         )
-        colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=radii > 0)
+        colors_cn = spherical_harmonics(
+            sh_degree, dirs, shs, masks=radii_scalar > 0
+        )
         colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)  # Inria parity
 
     # Depth rendering modes (rendering.py:481-492).
@@ -199,7 +210,8 @@ def rasterization(
         from gscodec_studio_tpu.ops.rasterize_pallas import SEGRED_MODE
 
         isect = isect_tiles(
-            means2d, radii, depths, tile_size, tile_width, tile_height,
+            means2d, radii_scalar, depths, tile_size, tile_width,
+            tile_height,
             isect_capacity,
             need_inv_perm=(rasterizer != "pallas" or SEGRED_MODE == "cumsum"),
         )
@@ -224,7 +236,7 @@ def rasterization(
                 cols,
                 opacities_cn,
                 depths,
-                radii,
+                radii_scalar,
                 isect,
                 tile_offsets,
                 width,
@@ -251,7 +263,7 @@ def rasterization(
         render_colors = jnp.concatenate([render_colors[..., :-1], d], axis=-1)
 
     meta = dict(
-        radii=radii,
+        radii=radii_scalar,
         means2d=means2d,
         depths=depths,
         conics=conics,

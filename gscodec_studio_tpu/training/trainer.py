@@ -124,6 +124,9 @@ class Config:
     grad_dtype: str = "f32"
     # sorted-table opacity/color rows as bf16 pairs (see V2Cfg.attr_dtype)
     attr_dtype: str = "f32"
+    # adaptive isect-capacity growth bound (pipeline cost scales with the
+    # static capacity; beyond base*this the depth tail truncates instead)
+    isect_cap_max_scale: int = 4
 
     # Multi-chip training: shard the gaussians over a 1-D device mesh and
     # run the train step under shard_map with the fused v2 backend per
@@ -817,16 +820,40 @@ class Runner:
             isect_cap = self._isect_capacity()
             fill = cap_used / isect_cap
             if fill >= 0.95:
-                self._isect_cap_scale = (
-                    getattr(self, "_isect_cap_scale", 1) * 2
-                )
-                self._train_step = None
-                self._render_cache = {}
-                print(
-                    f"step {step}: ISECT OVERFLOW ({cap_used} >= 95% of "
-                    f"{isect_cap}) — capacity doubles, step recompiles",
-                    flush=True,
-                )
+                scale = getattr(self, "_isect_cap_scale", 1)
+                if scale < cfg.isect_cap_max_scale:
+                    self._isect_cap_scale = scale * 2
+                    self._train_step = None
+                    self._render_cache = {}
+                    print(
+                        f"step {step}: ISECT OVERFLOW ({cap_used} >= 95% of "
+                        f"{isect_cap}) — capacity doubles, step recompiles",
+                        flush=True,
+                    )
+                else:
+                    # Bounded growth: pipeline cost is proportional to the
+                    # STATIC capacity, so unbounded doubling makes every
+                    # step pay for the worst transient burst forever. At
+                    # the bound, the deepest (farthest) intersections
+                    # truncate gracefully — the reduction handles partial
+                    # runs exactly — and we log the pressure instead.
+                    print(
+                        f"step {step}: isect buffer saturated ({cap_used} "
+                        f">= 95% of {isect_cap}, growth bound "
+                        f"{cfg.isect_cap_max_scale}x reached) — deepest "
+                        f"intersections truncate", flush=True,
+                    )
+            # Mid-training eval / checkpoints at the reference's
+            # eval_steps / save_steps (simple_trainer.py:1189-1193,
+            # :1076-1099) — long runs leave quality evidence as they go.
+            for es in cfg.eval_steps:
+                if step - S < es <= step < max_steps:
+                    m = self.eval(stage=f"val_step{es}")
+                    print(f"step {step}: eval " + json.dumps(
+                        {k: round(v, 3) for k, v in m.items()}), flush=True)
+            for ss in cfg.save_steps:
+                if step - S < ss <= step < max_steps:
+                    self.save_checkpoint(ss)
             losses.extend(np.asarray(chunk_losses).tolist())
             if log_every and step >= next_log:
                 print(
