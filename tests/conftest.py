@@ -16,6 +16,11 @@ import jax
 # The container's sitecustomize force-registers the axon TPU plugin and
 # programmatically sets jax_platforms — override it back to CPU for tests.
 jax.config.update("jax_platforms", "cpu")
+# The suite is compile-dominated (trainer scan graphs take minutes on CPU);
+# a persistent cache makes re-runs mostly cache hits, which is what makes
+# "run the fast tier before every landing" practical.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest
