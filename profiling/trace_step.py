@@ -50,6 +50,9 @@ def main():
             img, alpha, _ = rasterization(
                 means, quats, scales, opacities, colors, viewmats, Ks,
                 width, height, sh_degree=3, isect_capacity=5 << 20,
+                cutoff_mode="soft",
+                grad_dtype=os.environ.get("GSC_BENCH_GRAD_DTYPE", "f32"),
+                attr_dtype=os.environ.get("GSC_BENCH_ATTR_DTYPE", "f32"),
             )
             return jnp.mean((img - 0.5) ** 2) + 0.1 * jnp.mean(alpha)
 
