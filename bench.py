@@ -80,6 +80,8 @@ def main():
                 # A/B knobs (default = the trainer's production defaults)
                 grad_dtype=os.environ.get("GSC_BENCH_GRAD_DTYPE", "f32"),
                 attr_dtype=os.environ.get("GSC_BENCH_ATTR_DTYPE", "f32"),
+                log_composite=bool(int(os.environ.get(
+                    "GSC_BENCH_LOG_COMPOSITE", "0"))),
             )
             return jnp.mean((img - 0.5) ** 2) + 0.1 * jnp.mean(alpha)
 

@@ -132,6 +132,12 @@ class V2Cfg(NamedTuple):
     # Opacity/color at bf16 is ~2e-3 relative (half an 8-bit color step).
     # 3DGS layout only (n_attr == 0).
     attr_dtype: str = "f32"
+    # log_composite: evaluate the front-to-back transmittance scan in log
+    # space as ONE triangular MXU matmul (2-way bf16 split of log1p(-a),
+    # exact to ~16 mantissa bits) instead of the log2(K)-step
+    # roll-multiply VPU scan — the scan is the largest VPU block in both
+    # kernels. A/B-able; bit-identical early-termination semantics.
+    log_composite: bool = False
 
     @property
     def n_tiles(self):
@@ -758,6 +764,46 @@ def _composite(alpha, t_cur, cutoff="exact"):
     return w, m, t_prev, t_new
 
 
+def _composite_log(alpha, t_cur, tri_incl, cutoff="exact"):
+    """_composite in log space: cumulative products become ONE triangular
+    MXU matmul of log1p(-alpha). The 2-way bf16 split keeps ~16 mantissa
+    bits of each log term (|l| <= 6.9 at alpha <= 0.999), i.e. ~1e-4
+    absolute in log space — below f32 multiply-chain noise."""
+    Kw = alpha.shape[1]
+    l = jnp.log1p(-alpha)  # (P, K), in [-6.9, 0]
+    l1 = l.astype(jnp.bfloat16)
+    l2 = (l - l1.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    incl = (
+        jax.lax.dot_general(l1, tri_incl, dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(l2, tri_incl, dn,
+                              preferred_element_type=jnp.float32)
+    )  # inclusive cumsum of l along lanes
+    excl = incl - l
+    t_prev = t_cur * jnp.exp(excl)
+    if cutoff == "soft":
+        w = alpha * t_prev
+        t_new = t_cur * jnp.exp(incl[:, Kw - 1:Kw])
+        return w, None, t_prev, t_new
+    t_incl = t_cur * jnp.exp(incl)
+    m = t_incl > TRANSMITTANCE_EPS
+    w = alpha * t_prev * jnp.where(m, 1.0, 0.0)
+    t_new = jnp.min(
+        jnp.where(m, t_incl, jnp.broadcast_to(t_cur, t_incl.shape)),
+        axis=1, keepdims=True,
+    )
+    t_new = jnp.minimum(t_cur, t_new)
+    return w, m, t_prev, t_new
+
+
+def _tri_incl_bf16():
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    ).astype(jnp.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -769,6 +815,7 @@ def _fwd_kernel(cfg: V2Cfg, starts_ref, masks_ref, s_hbm, out_ref, bufs,
     CH = cfg.channels
     G = cfg.tiles_per_step
     step = pl.program_id(0)
+    tri_c = _tri_incl_bf16() if cfg.log_composite else None
 
     def dma(g, slot, c):
         return pltpu.make_async_copy(
@@ -810,7 +857,14 @@ def _fwd_kernel(cfg: V2Cfg, starts_ref, masks_ref, s_hbm, out_ref, bufs,
             dma(g, slot, c).wait()
             chunk = bufs[NBUF * g + slot]  # (d_s, K)
             pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
-            w, m, t_prev, t_new = _composite(pr["alpha"], t_cur, cfg.cutoff)
+            if cfg.log_composite:
+                w, m, t_prev, t_new = _composite_log(
+                    pr["alpha"], t_cur, tri_c, cfg.cutoff
+                )
+            else:
+                w, m, t_prev, t_new = _composite(
+                    pr["alpha"], t_cur, cfg.cutoff
+                )
             acc = acc + jax.lax.dot_general(
                 w, _chunk_colors(cfg, chunk),
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -913,6 +967,7 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
             sems.at[NBUF * g + slot],
         )
 
+    tri_c = _tri_incl_bf16() if cfg.log_composite else None
     idr0 = (idrow // 8) * 8  # sublane-aligned row block containing idrow
 
     def dma_idrow(g, slot, c):
@@ -1002,7 +1057,12 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
             chunk = bufs[NBUF * g + rs]  # (d_s, K)
             pr = _chunk_pair(cfg, chunk, px, py, c, off, end)
             alpha = pr["alpha"]
-            w, m, t_prev, t_new = _composite(alpha, t_cur, cfg.cutoff)
+            if cfg.log_composite:
+                w, m, t_prev, t_new = _composite_log(
+                    alpha, t_cur, tri_c, cfg.cutoff
+                )
+            else:
+                w, m, t_prev, t_new = _composite(alpha, t_cur, cfg.cutoff)
 
             # G[p, k] = sum_ch color_k[ch] * v_c[p, ch]
             Gpk = jax.lax.dot_general(
@@ -1643,6 +1703,7 @@ def rasterize_to_pixels_v2(
     cutoff_mode: str = "exact",
     grad_dtype: str = "f32",
     attr_dtype: str = "f32",
+    log_composite: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Differentiable fused binning + tile rasterization.
 
@@ -1664,6 +1725,7 @@ def rasterize_to_pixels_v2(
         channels=CH, cap=cap, n=N, tiles_per_step=tiles_per_step,
         interpret=interpret, absgrad=absgrad_probe is not None,
         cutoff=cutoff_mode, grad_dtype=grad_dtype, attr_dtype=attr_dtype,
+        log_composite=log_composite,
     )
     if masks is not None:
         masks_arr = masks.reshape(C * TH * TW).astype(jnp.int32)

@@ -63,6 +63,7 @@ def rasterization(
     cutoff_mode: str = "exact",  # fused only: "soft" = chunk-granular
     # early-out (cheaper pair math, sub-1e-4 tail admitted)
     grad_dtype: str = "f32",  # fused only: per-isect grad row precision
+    log_composite: bool = False,  # fused only: MXU log-space transmittance
     attr_dtype: str = "f32",  # fused only: sorted-table opacity/color rows
     # as bf16 pairs (fewer tile-sort payloads, half the kernel DMA bytes)
     means2d_probe: Optional[jnp.ndarray] = None,
@@ -195,6 +196,7 @@ def rasterization(
                 isect_capacity=isect_capacity, backgrounds=bgs,
                 absgrad_probe=absgrad_probe, cutoff_mode=cutoff_mode,
                 grad_dtype=grad_dtype, attr_dtype=attr_dtype,
+                log_composite=log_composite,
             )
             chunks.append(img)
         render_colors = (

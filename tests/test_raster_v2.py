@@ -124,6 +124,53 @@ def test_v2_attr_packed_close_to_exact(rng):
         )
 
 
+@pytest.mark.parametrize("cutoff", ["exact", "soft"])
+def test_v2_log_composite_matches(rng, cutoff):
+    """log-space MXU transmittance must match the roll-multiply scan to
+    ~1e-4 (2-way bf16 split keeps ~16 mantissa bits of each log term)."""
+    means2d, conics, colors, opacities, depths, radii, bg = make_2d_scene(
+        rng, C=1, N=200, W=48, H=32, CH=3
+    )
+    args = tuple(
+        map(jnp.asarray, (means2d, conics, colors, opacities, depths, radii))
+    )
+    outs = {}
+    for lc in (False, True):
+        img, alp, _ = rasterize_to_pixels_v2(
+            *args, 48, 32, tile_size=16, isect_capacity=8192,
+            backgrounds=jnp.asarray(bg), cutoff_mode=cutoff,
+            log_composite=lc,
+        )
+        outs[lc] = (np.asarray(img), np.asarray(alp))
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               rtol=0, atol=5e-4)
+
+    tgt = jnp.asarray(np.random.default_rng(3).random(
+        outs[False][0].shape, np.float32))
+
+    def loss(lc):
+        def f(means2d, conics, colors, opacities):
+            img, alp, _ = rasterize_to_pixels_v2(
+                means2d, conics, colors, opacities, args[4], args[5],
+                48, 32, tile_size=16, isect_capacity=8192,
+                cutoff_mode=cutoff, log_composite=lc,
+            )
+            return jnp.sum((img - tgt) ** 2) + 0.3 * jnp.sum(alp**2)
+        return f
+
+    gv = jax.grad(loss(True), argnums=(0, 1, 2, 3))(*args[:4])
+    gr = jax.grad(loss(False), argnums=(0, 1, 2, 3))(*args[:4])
+    for name, a, b in zip(["means2d", "conics", "colors", "opacities"],
+                          gv, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a)), name
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=2e-3,
+                                   err_msg=name)
+
+
 def test_v2_empty_scene(rng):
     C, N, W, H, CH = 1, 16, 32, 32, 3
     means2d = jnp.zeros((C, N, 2))
