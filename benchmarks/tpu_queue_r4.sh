@@ -34,4 +34,17 @@ python examples/exchange_cap_sweep.py \
   > results/r4_evidence/exchange_sweep.log 2>&1
 tail -5 results/r4_evidence/exchange_sweep.log
 
+echo "=== bf16-packed quality A/B (short garden, same seed/recipe) ==="
+python examples/garden_benchmark.py --steps 2000 --cap 360000 \
+  --compression_sim --rd_lambda 0.01 --grad_dtype bf16 \
+  --attr_dtype bf16 --log_composite \
+  --result_dir results/garden_ab_bf16 \
+  > results/r4_evidence/garden_ab_bf16.log 2>&1
+tail -3 results/r4_evidence/garden_ab_bf16.log
+python examples/garden_benchmark.py --steps 2000 --cap 360000 \
+  --compression_sim --rd_lambda 0.01 --grad_dtype f32 \
+  --result_dir results/garden_ab_f32 \
+  > results/r4_evidence/garden_ab_f32.log 2>&1
+tail -3 results/r4_evidence/garden_ab_f32.log
+
 echo "=== queue done ==="

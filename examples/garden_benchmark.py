@@ -139,6 +139,8 @@ def main():
     p.add_argument("--isect_capacity", type=int, default=6 << 20)
     p.add_argument("--eval_every", type=int, default=0)
     p.add_argument("--grad_dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--attr_dtype", default="f32", choices=["bf16", "f32"])
+    p.add_argument("--log_composite", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
 
@@ -181,6 +183,8 @@ def main():
         shN_ada_mask_opt=args.compression_sim,
         rd_lambda=args.rd_lambda,
         grad_dtype=args.grad_dtype,
+        attr_dtype=args.attr_dtype,
+        log_composite=args.log_composite,
         seed=args.seed,
         # mid-run quality evidence + a restartable checkpoint
         eval_steps=(args.steps // 4, args.steps // 2, 3 * args.steps // 4),

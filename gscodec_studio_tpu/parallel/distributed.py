@@ -217,6 +217,7 @@ def sharded_rasterization(
     cutoff_mode: str = "soft",
     grad_dtype: str = "f32",
     attr_dtype: str = "f32",
+    log_composite: bool = False,
     render_mode: str = "RGB",
 ):
     """Trainer-grade inside-shard_map rasterization on the fused v2 backend.
@@ -304,6 +305,7 @@ def sharded_rasterization(
         isect_capacity=isect_capacity, backgrounds=bg_l,
         absgrad_probe=ex.get("ag"), cutoff_mode=cutoff_mode,
         grad_dtype=grad_dtype, attr_dtype=attr_dtype,
+        log_composite=log_composite,
     )
     if render_mode == "RGB+ED":
         rgb, d = img[..., :-1], img[..., -1:]

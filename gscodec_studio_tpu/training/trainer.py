@@ -124,6 +124,8 @@ class Config:
     grad_dtype: str = "f32"
     # sorted-table opacity/color rows as bf16 pairs (see V2Cfg.attr_dtype)
     attr_dtype: str = "f32"
+    # MXU log-space transmittance in the tile kernels (V2Cfg.log_composite)
+    log_composite: bool = False
     # adaptive isect-capacity growth bound (pipeline cost scales with the
     # static capacity; beyond base*this the depth tail truncates instead)
     isect_cap_max_scale: int = 4
@@ -427,6 +429,7 @@ class Runner:
                         cutoff_mode=cfg.cutoff_mode,
                         grad_dtype=cfg.grad_dtype,
                         attr_dtype=cfg.attr_dtype,
+                        log_composite=cfg.log_composite,
                         render_mode="RGB+ED" if cfg.depth_loss else "RGB",
                     )
                     # this device renders/supervises B/G of the cameras:
@@ -451,6 +454,7 @@ class Runner:
                         rasterize_mode=(
                             "antialiased" if cfg.antialiased else "classic"
                         ),
+                        log_composite=cfg.log_composite,
                         render_mode="RGB+ED" if cfg.depth_loss else "RGB",
                         isect_capacity=isect_capacity,
                         means2d_probe=probe,
