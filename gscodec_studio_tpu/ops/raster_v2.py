@@ -166,10 +166,11 @@ class V2Cfg(NamedTuple):
 
     @property
     def n_srows(self):
-        # sorted attr rows before the id row: packed mode keeps geometry
-        # (x, y, ca, cb, cc) f32 and pairs up (op, colors...)
+        # sorted attr rows before the id row: packed mode keeps positions
+        # (x, y) f32 and pairs up (ca, cb), (cc, op), (colors...) — conic/
+        # opacity/color at bf16 is ~2^-9 relative, positions stay exact
         if self.attr_packed:
-            return 5 + (self.channels + 2) // 2
+            return 2 + (4 + self.channels + 1) // 2
         return self.n_attr_eff
 
     @property
@@ -465,21 +466,21 @@ def _expand_kernel(cfg: V2Cfg, nattr, g0blk_ref, tot_ref, t_hbm, tile_ref,
         # id payload (compacted index)
         out_refs[0][0:1, pl.ds(j * B, B)] = sel[_TR_CIDX : _TR_CIDX + 1, :]
         if cfg.attr_packed:
-            # geometry rows stay f32; (op, colors...) ride as bf16 pairs
-            for a in range(5):
+            # position rows stay f32; (conic, op, colors...) as bf16 pairs
+            for a in range(2):
                 out_refs[1 + a][0:1, pl.ds(j * B, B)] = sel[
                     _TR_ATTR + a : _TR_ATTR + a + 1, :
                 ]
-            nval = nattr - 5  # op + CH colors
+            nval = nattr - 2  # ca, cb, cc, op + CH colors
             for jp in range((nval + 1) // 2):
-                lo = _TR_ATTR + 5 + 2 * jp
+                lo = _TR_ATTR + 2 + 2 * jp
                 a_half = sel[lo : lo + 1, :]
                 b_half = (
                     sel[lo + 1 : lo + 2, :]
                     if 2 * jp + 1 < nval
                     else jnp.zeros_like(a_half)
                 )
-                out_refs[6 + jp][0:1, pl.ds(j * B, B)] = _pack_pair(
+                out_refs[3 + jp][0:1, pl.ds(j * B, B)] = _pack_pair(
                     a_half, b_half
                 )
         else:
@@ -632,8 +633,8 @@ def _build_sorted_generic(cfg: V2Cfg, means2d, attr_rows, depths, radii):
     if cfg.attr_packed:
         # packed rows carry bf16-pair bit patterns: ride the sort as int32
         # so no float canonicalization can touch them
-        attrs = attrs[:5] + [
-            jax.lax.bitcast_convert_type(a, jnp.int32) for a in attrs[5:]
+        attrs = attrs[:2] + [
+            jax.lax.bitcast_convert_type(a, jnp.int32) for a in attrs[2:]
         ]
     so2 = jax.lax.sort(
         (tile,) + tuple(attrs) + (idf,), num_keys=1, is_stable=True
@@ -641,9 +642,9 @@ def _build_sorted_generic(cfg: V2Cfg, means2d, attr_rows, depths, radii):
     tile_sorted = so2[0]
     sorted_rows = list(so2[1:])
     if cfg.attr_packed:
-        sorted_rows = sorted_rows[:5] + [
+        sorted_rows = sorted_rows[:2] + [
             jax.lax.bitcast_convert_type(a, jnp.float32)
-            for a in sorted_rows[5:-1]
+            for a in sorted_rows[2:-1]
         ] + sorted_rows[-1:]
     S = pack_rows(sorted_rows, cfg.d_s, cfg.interpret)
 
@@ -701,15 +702,15 @@ def _pixel_coords(cfg: V2Cfg, t):
 
 def _chunk_colors(cfg, chunk):
     """(CH, K) color block of a sorted-table chunk (unpacks bf16 pairs
-    when cfg.attr_packed: values [op, c0, c1, ...] ride rows 5.. as
-    pairs)."""
+    when cfg.attr_packed: values [ca, cb, cc, op, c0, ...] ride rows 2..
+    as pairs)."""
     CH = cfg.channels
     if not cfg.attr_packed:
         return chunk[6:6 + CH, :]
     cols = []
     for i in range(CH):
-        pair, half = divmod(1 + i, 2)
-        a, b = _unpack_pair(chunk[5 + pair:6 + pair, :])
+        pair, half = divmod(4 + i, 2)
+        a, b = _unpack_pair(chunk[2 + pair:3 + pair, :])
         cols.append(b if half else a)
     return jnp.concatenate(cols, axis=0)
 
@@ -722,10 +723,11 @@ def _chunk_pair(cfg, chunk, px, py, c, off, end):
     or output dim get padded to 128 on the systolic array (measured: the
     matmul form made both kernels ~35% slower)."""
     xs, ys = chunk[0:1, :], chunk[1:2, :]
-    ca, cb, cc = chunk[2:3, :], chunk[3:4, :], chunk[4:5, :]
     if cfg.attr_packed:
-        op, _ = _unpack_pair(chunk[5:6, :])
+        ca, cb = _unpack_pair(chunk[2:3, :])
+        cc, op = _unpack_pair(chunk[3:4, :])
     else:
+        ca, cb, cc = chunk[2:3, :], chunk[3:4, :], chunk[4:5, :]
         op = chunk[5:6, :]
     dx = xs - px  # (P, K)
     dy = ys - py
