@@ -918,7 +918,7 @@ def _run_fwd(cfg: V2Cfg, S, starts_padded, masks_padded):
         ),
         interpret=cfg.interpret,
     )(starts_padded, masks_padded, S)
-    return out[: cfg.n_tiles]
+    return out  # PADDED [n_steps*G, P, CHP]; callers slice [:n_tiles]
 
 
 # ---------------------------------------------------------------------------
@@ -1622,9 +1622,9 @@ def _raster_core_fwd(cfg, means2d, conics, colors, opacities, depths, radii,
     )
     sp = _starts_padded(cfg, starts)
     mp = _masks_padded(cfg, masks)
-    tiles_out = _run_fwd(cfg, S, sp, mp)  # [n_tiles, P, CHP]
-    res = (S, starts, tiles_out, aux, mp, masks.shape, radii.shape)
-    return (tiles_out, aux["n_isects"]), res
+    tiles_out_p = _run_fwd(cfg, S, sp, mp)  # PADDED [n_steps*G, P, CHP]
+    res = (S, starts, tiles_out_p, aux, mp, masks.shape, radii.shape)
+    return (tiles_out_p[: cfg.n_tiles], aux["n_isects"]), res
 
 
 def _raster_core_bwd(cfg, res, cot):
@@ -1656,7 +1656,7 @@ def _raster_core_bwd(cfg, res, cot):
     ) if pad_tiles else x
 
     gbuf = _run_bwd(
-        cfg, S, sp, slot_base, mp, padt(tiles_out), padt(vt), gbuf_init
+        cfg, S, sp, slot_base, mp, tiles_out, padt(vt), gbuf_init
     )
     v_flat, absg = _reduce_grads(cfg, gbuf, aux)
 

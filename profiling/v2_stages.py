@@ -121,15 +121,16 @@ def main():
                       x.dtype)])
 
     def bwd(c, S, sp, slot_base, mp, tiles_out, vt, gbuf_init):
-        out = rv._run_bwd(cfg, S + c * 0.0, sp, slot_base, mp, padt(tiles_out),
-                          padt(vt), gbuf_init)
+        # _run_fwd now returns the PADDED [n_steps*G, P, CHP] buffer
+        out = rv._run_bwd(cfg, S + c * 0.0, sp, slot_base, mp, tiles_out,
+                          vt, gbuf_init)
         return s_(out[0], c)
 
     t("bwd kernel", bwd, (S, sp, slot_base, mp, tiles_out, vt, gbuf_init))
 
     gbuf = jax.jit(
-        lambda *a: rv._run_bwd(cfg, a[0], a[1], a[2], a[3], padt(a[4]),
-                               padt(a[5]), a[6])
+        lambda *a: rv._run_bwd(cfg, a[0], a[1], a[2], a[3], a[4],
+                               a[5], a[6])
     )(S, sp, slot_base, mp, tiles_out, vt, gbuf_init)
 
     # reduce
