@@ -33,6 +33,8 @@ def fully_fused_projection_2dgs(
     near_plane: float = 0.01,
     far_plane: float = 1e10,
     radius_clip: float = 0.0,
+    opacities=None,  # [N] linear opacity -> exact alpha-threshold extent
+    elliptical: bool = False,  # radii as per-axis AABB half-widths [C,N,2]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (radii [C,N] i32, means2d [C,N,2], depths [C,N],
     ray_transforms [C,N,3,3] (rows = KWH rows), normals [C,N,3])."""
@@ -72,22 +74,40 @@ def fully_fused_projection_2dgs(
         [jnp.sum(f * M0 * M0, -1), jnp.sum(f * M1 * M1, -1)], axis=-1
     )
     half_extend = mean2d * mean2d - tmp2
-    radius = jnp.ceil(
-        3.0 * jnp.sqrt(jnp.maximum(1e-4, jnp.max(half_extend, axis=-1)))
-    )
+    nsig = 3.0
+    if opacities is not None:
+        # alpha = op * exp(-sigma) with sigma quadratic in the per-axis
+        # extent, so pairs beyond nsig = sqrt(2 ln(255 op)) sigma are
+        # provably below the 1/255 threshold (same proof as 3DGS; the
+        # min() with the ray kernel only lowers alpha further)
+        nsig = jnp.maximum(jnp.minimum(
+            3.0,
+            jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1e-30))),
+        ), 0.0)[None, :]
+    he = jnp.sqrt(jnp.maximum(1e-4, half_extend))  # [C, N, 2] per-axis
+    if elliptical:
+        rx = jnp.ceil(nsig * he[..., 0])
+        ry = jnp.ceil(nsig * he[..., 1])
+    else:
+        rx = ry = jnp.ceil(nsig * jnp.max(he, axis=-1))
 
     valid = (depths > near_plane) & (depths < far_plane) & (distance != 0)
-    valid &= radius > radius_clip
+    valid &= jnp.maximum(rx, ry) > radius_clip
     x2d, y2d = mean2d[..., 0], mean2d[..., 1]
-    valid &= (x2d + radius > 0) & (x2d - radius < width)
-    valid &= (y2d + radius > 0) & (y2d - radius < height)
+    valid &= (x2d + rx > 0) & (x2d - rx < width)
+    valid &= (y2d + ry > 0) & (y2d - ry < height)
 
     # Normal = third column of RS_camera, flipped toward the camera.
     normal = RS[..., :, 2]  # [C, N, 3]
     flip = jnp.where(jnp.sum(-normal * mean_c, axis=-1) > 0, 1.0, -1.0)
     normal = normal * flip[..., None]
 
-    radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    if elliptical:
+        radii = jnp.where(
+            valid[..., None], jnp.stack([rx, ry], axis=-1), 0.0
+        ).astype(jnp.int32)
+    else:
+        radii = jnp.where(valid, rx, 0.0).astype(jnp.int32)
     zero = jnp.zeros((), M.dtype)
     mean2d = jnp.where(valid[..., None], mean2d, zero)
     depths = jnp.where(valid, depths, zero)

@@ -329,13 +329,17 @@ def rasterization_2dgs(
 
     C = viewmats.shape[0]
     N = means.shape[0]
+    ell2 = rasterizer == "fused"
     radii, means2d, depths, ray_transforms, normals = (
         fully_fused_projection_2dgs(
             means, quats, scales, viewmats, Ks, width, height,
             near_plane, far_plane, radius_clip,
+            opacities=opacities, elliptical=ell2,
         )
     )
-    radii = jnp.where(opacities[None, :] >= 1.0 / 255.0, radii, 0)
+    opac_ok2 = opacities[None, :] >= 1.0 / 255.0
+    radii = jnp.where(opac_ok2[..., None] if ell2 else opac_ok2, radii, 0)
+    radii_sc = jnp.max(radii, axis=-1) if ell2 else radii
     opacities_cn = jnp.broadcast_to(opacities[None, :], (C, N))
 
     if sh_degree is None:
@@ -350,7 +354,9 @@ def rasterization_2dgs(
         shs = colors if colors.ndim == 4 else jnp.broadcast_to(
             colors[None], (C,) + colors.shape
         )
-        colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=radii > 0)
+        colors_cn = spherical_harmonics(
+            sh_degree, dirs, shs, masks=radii_sc > 0
+        )
         colors_cn = jnp.clip(colors_cn + 0.5, 0.0, None)
 
     # Depth channel rides along for distortion/median (2dgs_fwd.cu depth use).
@@ -375,7 +381,7 @@ def rasterization_2dgs(
         render, alphas, render_normals, render_distort, render_median = (
             rasterize_to_pixels_2dgs_ref(
                 means2d, ray_transforms, colors_cn, opacities_cn, normals,
-                depths, radii, width, height, tile_size, backgrounds,
+                depths, radii_sc, width, height, tile_size, backgrounds,
             )
         )
     render_colors, accum_depth = render[..., :-1], render[..., -1:]
@@ -388,7 +394,7 @@ def rasterization_2dgs(
     surf_normals = depth_to_normal(depth_out, viewmats, Ks)
 
     meta = dict(
-        radii=radii, means2d=means2d, depths=depths,
+        radii=radii_sc, means2d=means2d, depths=depths,
         ray_transforms=ray_transforms, normals=normals, width=width,
         height=height, n_cameras=C, gradient_2dgs=means2d,
         n_isects=n_isects,
