@@ -63,6 +63,7 @@ def main():
         result_dir=args.result_dir, max_steps=args.steps,
         sh_degree=2, sh_degree_interval=max(args.steps // 4, 1),
         strategy="mcmc", mcmc_cap_max=args.cap,
+        refine_stop_iter=int(args.steps * 25 / 30),
         isect_capacity=args.isect_capacity,
         steps_per_dispatch=25,
         opacity_reg=0.01, scale_reg=0.01,

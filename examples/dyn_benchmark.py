@@ -154,6 +154,7 @@ def main():
     cfg = DynConfig(
         result_dir=args.result_dir, max_steps=args.steps,
         strategy=args.strategy, capacity=args.cap, mcmc_cap_max=args.cap,
+        refine_stop_iter=int(args.steps * 25 / 30),
         color_mode=args.color_mode, compression_sim=True,
         entropy_model_opt=True, rd_lambda=0.01,
         steps_per_dispatch=10,

@@ -175,6 +175,11 @@ def main():
         result_dir=args.result_dir, max_steps=args.steps,
         sh_degree=args.sh_degree, sh_degree_interval=max(args.steps // 6, 1),
         strategy="mcmc", mcmc_cap_max=args.cap,
+        # scale the 30k-schedule refine window to this run's length
+        # (reference adjust_steps): refinement must STOP well before the
+        # end so the decayed-LR phase converges instead of chasing
+        # relocation churn
+        refine_stop_iter=int(args.steps * 25 / 30),
         isect_capacity=args.isect_capacity,
         steps_per_dispatch=args.steps_per_dispatch,
         opacity_reg=0.01, scale_reg=0.01,

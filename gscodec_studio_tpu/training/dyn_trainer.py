@@ -56,6 +56,11 @@ class DynConfig:
     isect_capacity: Optional[int] = None
     ssim_lambda: float = 0.2
     strategy: str = "mcmc"
+    # densification-window overrides (None = strategy defaults, tuned for
+    # the reference 30k schedule; scale for short runs)
+    refine_start_iter: Optional[int] = None
+    refine_stop_iter: Optional[int] = None
+    refine_every: Optional[int] = None
     mcmc_cap_max: int = 200_000
     seed: int = 42
     steps_per_dispatch: int = 10
@@ -107,6 +112,11 @@ class DynRunner:
             cap = cfg.capacity or 4 * n_init
             self.strategy = DefaultStrategy()
         cap = max(cap, n_init)
+        # short-run refine-window scaling (see trainer.Config notes)
+        for f_ in ("refine_start_iter", "refine_stop_iter", "refine_every"):
+            v = getattr(cfg, f_, None)
+            if v is not None:
+                object.__setattr__(self.strategy, f_, int(v))
         self.splats = create_dyn_splats(points, rgbs, cap=cap, seed=cfg.seed)
 
         import math

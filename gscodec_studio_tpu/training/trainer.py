@@ -72,6 +72,14 @@ class Config:
     # Strategy
     strategy: str = "default"  # "default" | "mcmc"
     mcmc_cap_max: int = 1_000_000
+    # Densification schedule overrides (None = strategy defaults, which
+    # assume the reference's 30k-step schedule). Short runs MUST scale
+    # refine_stop (the reference's adjust_steps, simple_trainer.py:309-326)
+    # or relocation churn continues after the LR has decayed too low to
+    # recover from it.
+    refine_start_iter: Optional[int] = None
+    refine_stop_iter: Optional[int] = None
+    refine_every: Optional[int] = None
 
     # Camera pose optimization (simple_trainer.py:270-277)
     pose_opt: bool = False
@@ -211,6 +219,10 @@ class Runner:
             cap = cfg.capacity or 4 * n_init
             self.strategy = DefaultStrategy()
         cap = max(cap, n_init)
+        for f_ in ("refine_start_iter", "refine_stop_iter", "refine_every"):
+            v = getattr(cfg, f_)
+            if v is not None:
+                object.__setattr__(self.strategy, f_, int(v))
 
         self.mesh = None
         if cfg.mesh_devices and cfg.mesh_devices > 1:
