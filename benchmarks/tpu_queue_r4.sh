@@ -17,13 +17,13 @@ echo "=== 10M-gaussian headroom ==="
 python profiling/bench_10m.py 2>/dev/null | tail -1 | tee results/r4_evidence/bench_10m.json
 
 echo "=== bf16-packed quality A/B (short garden, same seed/recipe) ==="
-python examples/garden_benchmark.py --steps 1500 --cap 360000 \
+python examples/garden_benchmark.py --steps 2500 --cap 360000 \
   --compression_sim --rd_lambda 0.01 --grad_dtype bf16 \
   --attr_dtype bf16 --log_composite \
   --result_dir results/garden_ab_bf16 \
   > results/r4_evidence/garden_ab_bf16.log 2>&1
 tail -3 results/r4_evidence/garden_ab_bf16.log
-python examples/garden_benchmark.py --steps 1500 --cap 360000 \
+python examples/garden_benchmark.py --steps 2500 --cap 360000 \
   --compression_sim --rd_lambda 0.01 --grad_dtype f32 \
   --result_dir results/garden_ab_f32 \
   > results/r4_evidence/garden_ab_f32.log 2>&1
