@@ -48,6 +48,8 @@ from gscodec_studio_tpu.ops.raster_v2 import (
     V2Cfg,
     _build_sorted_generic,
     _composite,
+    _composite_log,
+    _tri_incl_bf16,
     _cumsum_incl_lane,
     _masks_padded,
     _pixel_coords,
@@ -67,11 +69,13 @@ _AOP = 11
 _ACOL = 12  # CB rows: user colors, z, normals[3]
 
 
-def _cfg_2dgs(C, TW, TH, ts, CB, cap, N, tiles_per_step, interpret, absgrad):
+def _cfg_2dgs(C, TW, TH, ts, CB, cap, N, tiles_per_step, interpret, absgrad,
+              log_composite=False):
     return V2Cfg(
         C=C, tile_width=TW, tile_height=TH, tile_size=ts, channels=CB,
         cap=cap, n=N, tiles_per_step=tiles_per_step, interpret=interpret,
         absgrad=absgrad, n_attr=12 + CB, cull=False, extra_out=2,
+        log_composite=log_composite,
     )
 
 
@@ -177,7 +181,14 @@ def _fwd_kernel_2dgs(cfg: V2Cfg, zch, starts_ref, masks_ref, s_hbm, out_ref,
             dma(g, slot, c).wait()
             chunk = bufs[NBUF * g + slot]
             pr = _chunk_pair_2dgs(cfg, chunk, px, py, c, off, end)
-            w, m_, t_prev, t_new = _composite(pr["alpha"], t_cur, cfg.cutoff)
+            if cfg.log_composite:
+                w, m_, t_prev, t_new = _composite_log(
+                    pr["alpha"], t_cur, _tri_incl_bf16(), cfg.cutoff
+                )
+            else:
+                w, m_, t_prev, t_new = _composite(
+                    pr["alpha"], t_cur, cfg.cutoff
+                )
             acc = acc + jax.lax.dot_general(
                 w, chunk[_ACOL:_ACOL + CB, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -339,7 +350,12 @@ def _bwd_kernel_2dgs(cfg: V2Cfg, zch, starts_ref, slot_ref, masks_ref, s_hbm,
             chunk = bufs[NBUF * g + rs]
             pr = _chunk_pair_2dgs(cfg, chunk, px, py, c, off, end)
             alpha = pr["alpha"]
-            w, m_, t_prev, t_new = _composite(alpha, t_cur, cfg.cutoff)
+            if cfg.log_composite:
+                w, m_, t_prev, t_new = _composite_log(
+                    alpha, t_cur, _tri_incl_bf16(), cfg.cutoff
+                )
+            else:
+                w, m_, t_prev, t_new = _composite(alpha, t_cur, cfg.cutoff)
             zk = chunk[zrow:zrow + 1, :]
             wz = w * zk
             A_i = accA + _cumsum_incl_lane(wz) - wz  # prefix wz before k
@@ -676,6 +692,7 @@ def rasterize_to_pixels_2dgs_v2(
     tiles_per_step: int = 4,
     interpret: Optional[bool] = None,
     absgrad_probe: Optional[jnp.ndarray] = None,
+    log_composite: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            dict]:
     """Differentiable fused 2DGS rasterization.
@@ -694,7 +711,8 @@ def rasterize_to_pixels_2dgs_v2(
     blk = EXPAND_B * EXPAND_SB
     cap = ((isect_capacity + blk - 1) // blk) * blk
     cfg = _cfg_2dgs(C, TW, TH, tile_size, CB, cap, N, tiles_per_step,
-                    interpret, absgrad_probe is not None)
+                    interpret, absgrad_probe is not None,
+                    log_composite=log_composite)
     if masks is not None:
         masks_arr = masks.reshape(C * TH * TW).astype(jnp.int32)
     else:

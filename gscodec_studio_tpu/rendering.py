@@ -303,6 +303,7 @@ def rasterization_2dgs(
     depth_mode: str = "expected",
     rasterizer: str = "auto",
     isect_capacity: Optional[int] = None,
+    log_composite: bool = False,
 ):
     """2DGS (surfel) rendering — reference ``rasterization_2dgs``
     (rendering.py:1002-1321). Returns (render_colors, render_alphas,
@@ -373,6 +374,7 @@ def rasterization_2dgs(
                 means2d, ray_transforms, colors_cn, opacities_cn, normals,
                 depths, radii, width, height, tile_size=tile_size,
                 isect_capacity=cap, backgrounds=backgrounds,
+                log_composite=log_composite,
             )
         )
         n_isects = kmeta["n_isects"]
