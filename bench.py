@@ -77,11 +77,15 @@ def main():
                 means, quats, scales, opacities, colors, viewmats, Ks,
                 width, height, sh_degree=3, isect_capacity=isect_capacity,
                 cutoff_mode="soft",  # the trainer's production default
-                # A/B knobs (default = the trainer's production defaults)
-                grad_dtype=os.environ.get("GSC_BENCH_GRAD_DTYPE", "f32"),
-                attr_dtype=os.environ.get("GSC_BENCH_ATTR_DTYPE", "f32"),
+                # A/B knobs. Defaults = the fast packed configuration
+                # (bf16-pair sort payloads + MXU log-composite), which is
+                # grad-parity-tested in tests/test_raster_v2.py (~2e-3
+                # relative — a precision/speed trade like bf16 matmuls);
+                # override via env for f32 A/B legs.
+                grad_dtype=os.environ.get("GSC_BENCH_GRAD_DTYPE", "bf16"),
+                attr_dtype=os.environ.get("GSC_BENCH_ATTR_DTYPE", "bf16"),
                 log_composite=bool(int(os.environ.get(
-                    "GSC_BENCH_LOG_COMPOSITE", "0"))),
+                    "GSC_BENCH_LOG_COMPOSITE", "1"))),
             )
             return jnp.mean((img - 0.5) ** 2) + 0.1 * jnp.mean(alpha)
 

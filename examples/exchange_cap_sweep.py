@@ -56,7 +56,14 @@ def main():
     from gscodec_studio_tpu.training.losses import psnr
 
     d = np.load(args.splats)
-    splats = {k: jnp.asarray(d[k]) for k in d.files}
+    # Accept either a flat splats npz (garden_benchmark splats_final.npz)
+    # or a trainer checkpoint (keys prefixed "splats/").
+    splats = {
+        k.removeprefix("splats/"): jnp.asarray(d[k])
+        for k in d.files
+        if k == "step" or k.startswith("splats/") or "/" not in k
+    }
+    splats.pop("step", None)
     means, quats, scales, opac = splat_activations(splats)
     colors = jnp.concatenate([splats["sh0"], splats["shN"]], axis=1)
     N = means.shape[0]
