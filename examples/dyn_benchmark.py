@@ -11,7 +11,6 @@ import argparse
 import glob
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -189,20 +188,25 @@ def main():
         })
     print(f"exported {len(frames)} frame plys", flush=True)
 
-    env = dict(os.environ)
-    cp = subprocess.run(
-        [sys.executable, "examples/compress_ply_sequence.py",
-         "--ply_dir", ply_dir,
-         "--output_dir", os.path.join(args.result_dir, "seq_codec"),
-         "--rate_points", *args.rate_points,
-         "--eval_views", "3", "--eval_width", str(args.width // 2),
-         "--eval_height", str(args.height // 2),
-         "--eval_frame_stride", "4"],
-        env=env, text=True, capture_output=True,
-    )
-    print(cp.stdout[-2000:], flush=True)
-    if cp.returncode:
-        print(cp.stderr[-2000:], flush=True)
+    # Run the codec ladder IN-PROCESS: a subprocess would deadlock on
+    # the single-tenant TPU relay (this process holds a live TPU
+    # context while blocking on the child, the child blocks on the
+    # chip). Observed live in round 4 — see benchmarks/r4_queue4.sh.
+    from examples.compress_ply_sequence import main as codec_main
+
+    argv, sys.argv = sys.argv, [
+        "compress_ply_sequence.py",
+        "--ply_dir", ply_dir,
+        "--output_dir", os.path.join(args.result_dir, "seq_codec"),
+        "--rate_points", *args.rate_points,
+        "--eval_views", "3", "--eval_width", str(args.width // 2),
+        "--eval_height", str(args.height // 2),
+        "--eval_frame_stride", "4",
+    ]
+    try:
+        codec_main()
+    finally:
+        sys.argv = argv
 
     rows = [result]
     for rp in args.rate_points:
