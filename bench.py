@@ -78,10 +78,10 @@ def main():
                 width, height, sh_degree=3, isect_capacity=isect_capacity,
                 cutoff_mode="soft",  # the trainer's production default
                 # A/B knobs. Defaults = the fast packed configuration
-                # (bf16-pair sort payloads + MXU log-composite), which is
-                # grad-parity-tested in tests/test_raster_v2.py (~2e-3
-                # relative — a precision/speed trade like bf16 matmuls);
-                # override via env for f32 A/B legs.
+                # (bf16-pair sort payloads + MXU log-composite), parity-
+                # tested in tests/test_raster_v2.py (bf16 grads ~1.5e-2
+                # atol, bf16 attrs ~2e-3 — a precision/speed trade like
+                # bf16 matmuls); override via env for f32 A/B legs.
                 grad_dtype=os.environ.get("GSC_BENCH_GRAD_DTYPE", "bf16"),
                 attr_dtype=os.environ.get("GSC_BENCH_ATTR_DTYPE", "bf16"),
                 log_composite=bool(int(os.environ.get(
@@ -97,6 +97,10 @@ def main():
     )
     mpix_s = width * height / per_iter / 1e6
     baseline = 67.6  # Mpix/s fwd+bwd, TITAN RTX (see module docstring)
+    # Emit the active precision config so every recorded number is
+    # self-describing (ADVICE r4: the default changed from f32 to the
+    # packed bf16 config between rounds; vs_baseline still divides by
+    # the f32 GPU reference).
     print(
         json.dumps(
             {
@@ -104,6 +108,14 @@ def main():
                 "value": round(mpix_s, 2),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_s / baseline, 3),
+                "config": {
+                    "grad_dtype": os.environ.get(
+                        "GSC_BENCH_GRAD_DTYPE", "bf16"),
+                    "attr_dtype": os.environ.get(
+                        "GSC_BENCH_ATTR_DTYPE", "bf16"),
+                    "log_composite": bool(int(os.environ.get(
+                        "GSC_BENCH_LOG_COMPOSITE", "1"))),
+                },
             }
         )
     )

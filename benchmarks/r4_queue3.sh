@@ -6,6 +6,9 @@
 set -x
 cd "$(dirname "$0")/.."
 mkdir -p results/r4_evidence
+# Guard the pid argument (ADVICE r4): a missing/recycled pid exits the
+# wait loop instantly and launches against a busy single-tenant chip.
+[ -n "$1" ] || { echo "usage: $0 <pid-to-wait-for>"; exit 1; }
 while kill -0 "$1" 2>/dev/null; do sleep 10; done
 
 echo "=== exchange-cap sweep (trained garden ckpt) ==="

@@ -204,7 +204,14 @@ def main():
         "--eval_frame_stride", "4",
     ]
     try:
+        # Tolerate codec failure (ADVICE r4): the rd_table assembly and
+        # the already-computed train row must be written even if a rate
+        # point dies (empty ply dir SystemExit, bad rate point, OOM).
         codec_main()
+    except (Exception, SystemExit):
+        import traceback
+
+        traceback.print_exc()
     finally:
         sys.argv = argv
 

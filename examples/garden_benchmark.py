@@ -42,7 +42,7 @@ def _look_at(eye, target, up):
 
 
 def build_garden_scene(n_views, width=None, height=None, seed=0,
-                       opacity=0.85):
+                       opacity=0.85, return_gt=False):
     import jax
 
     # The container sitecustomize force-registers the axon TPU plugin and
@@ -120,6 +120,10 @@ def build_garden_scene(n_views, width=None, height=None, seed=0,
             "camtoworld": c2w, "K": K.astype(np.float32),
             "image": np.clip(np.asarray(img[0]), 0, 1),
         })
+    if return_gt:
+        # the exact GT parameter pytree (for self-fit diagnostics:
+        # oracle-eval and train-from-GT legs, examples/self_fit.py)
+        return pts, rgb, views, (width, height), gt
     return pts, rgb, views, (width, height)
 
 
