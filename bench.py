@@ -86,6 +86,7 @@ def main():
                 attr_dtype=os.environ.get("GSC_BENCH_ATTR_DTYPE", "bf16"),
                 log_composite=bool(int(os.environ.get(
                     "GSC_BENCH_LOG_COMPOSITE", "1"))),
+                tile_size=int(os.environ.get("GSC_BENCH_TILE", "16")),
             )
             return jnp.mean((img - 0.5) ** 2) + 0.1 * jnp.mean(alpha)
 
@@ -115,6 +116,8 @@ def main():
                         "GSC_BENCH_ATTR_DTYPE", "bf16"),
                     "log_composite": bool(int(os.environ.get(
                         "GSC_BENCH_LOG_COMPOSITE", "1"))),
+                    "tile_size": int(os.environ.get(
+                        "GSC_BENCH_TILE", "16")),
                 },
             }
         )

@@ -111,12 +111,19 @@ class Config:
     save_steps: tuple = (7_000, 30_000)
     seed: int = 42
     visible_adam: bool = False
+    # One-retry probe on gated non-finite steps: re-dispatch the failing
+    # (batch, key) once and record whether it replays clean (transient)
+    # or reproduces (deterministic bug). See Runner._fingerprint_skips.
+    skip_probe: bool = True
     # Steps fused into one device dispatch (host sync amortization)
     steps_per_dispatch: int = 25
 
     # Rasterizer backend: "fused" (production v2), "pallas" (legacy v1),
     # "reference" (pure-jnp oracle)
     rasterizer: str = "fused"
+    tile_size: int = 16  # binning/kernel tile edge (px); larger tiles cut
+    # (gaussian, tile) sort rows for big splats at the cost of more masked
+    # pair math per tile — sweep on hardware (benchmarks/tile_sweep)
     # "soft" = chunk-granular early-out in the fused kernels (~20% cheaper
     # pair math, <=1e-4-transmittance tail admitted); "exact" = the CUDA
     # per-pair rule. Production trains soft (as v1 shipped); parity tests
@@ -472,6 +479,7 @@ class Runner:
                         means2d_probe=probe,
                         absgrad_probe=ag_probe if use_absgrad else None,
                         rasterizer=cfg.rasterizer,
+                        tile_size=cfg.tile_size,
                         cutoff_mode=cfg.cutoff_mode,
                         grad_dtype=cfg.grad_dtype,
                         attr_dtype=cfg.attr_dtype,
@@ -595,16 +603,23 @@ class Runner:
             # Finite-step gate: accept the update only if the loss and every
             # gradient element are finite; otherwise carry the incoming
             # state through unchanged and flag the step as skipped.
-            ok = jnp.isfinite(loss)
-            for leaf in jax.tree_util.tree_leaves(
-                (param_grads, sim_grads, aux_grads)
-            ):
-                ok &= jnp.all(jnp.isfinite(leaf))
+            # ``leaf_oks`` fingerprints WHICH leaf went non-finite
+            # ([1 + n_grad_leaves], loss first — names via
+            # Runner._grad_leaf_names) so recurring skips are debuggable
+            # instead of anesthetized (VERDICT r4 item 5).
+            leaf_oks = jnp.stack(
+                [jnp.isfinite(loss)]
+                + [jnp.all(jnp.isfinite(leaf))
+                   for leaf in jax.tree_util.tree_leaves(
+                       (param_grads, sim_grads, aux_grads))]
+            )
             if is_mesh:
                 from gscodec_studio_tpu.parallel.distributed import AXIS
 
                 # one poisoned shard rejects the step everywhere
-                ok = jax.lax.pmin(ok.astype(jnp.float32), AXIS) > 0
+                leaf_oks = jax.lax.pmin(
+                    leaf_oks.astype(jnp.float32), AXIS) > 0
+            ok = jnp.all(leaf_oks)
             state_out = (params, opt_states, strat_state,
                          (sim_params, sim_opt_state) if sim is not None
                          else sim_bundle,
@@ -616,7 +631,7 @@ class Runner:
                 )
             )
             return (params, opt_states, strat_state, sim_bundle,
-                    aux_bundle, loss, meta["n_isects"], ~ok)
+                    aux_bundle, loss, meta["n_isects"], ~ok, leaf_oks)
 
         def train_chunk(params, opt_states, strat_state, sim_bundle,
                         aux_bundle, data, idxs, keys, steps, means_lrs):
@@ -631,23 +646,26 @@ class Runner:
                 idx, key, step, lr = xs  # idx: [B]
                 batch = jax.tree_util.tree_map(lambda a: a[idx], data)
                 (params, opt_states, strat_state, sim_bundle, aux_bundle,
-                 loss, n_is, skipped) = train_step(
+                 loss, n_is, skipped, leaf_oks) = train_step(
                     params, opt_states, strat_state, sim_bundle, aux_bundle,
                     batch, idx, key, step, lr,
                 )
                 return (
                     (params, opt_states, strat_state, sim_bundle, aux_bundle),
-                    (loss, n_is, skipped),
+                    (loss, n_is, skipped, leaf_oks),
                 )
 
             ((params, opt_states, strat_state, sim_bundle, aux_bundle),
-             (losses, n_isects, skips)) = jax.lax.scan(
+             (losses, n_isects, skips, leaf_oks)) = jax.lax.scan(
                 body,
                 (params, opt_states, strat_state, sim_bundle, aux_bundle),
                 (idxs, keys, steps, means_lrs),
             )
+            # per-step skip flags [S] + per-step leaf-finite matrix [S, L]
+            # (not reduced: the host fingerprints exactly which in-chunk
+            # step and which grad leaf failed)
             return (params, opt_states, strat_state, sim_bundle, aux_bundle,
-                    losses, jnp.max(n_isects), jnp.sum(skips))
+                    losses, jnp.max(n_isects), skips, leaf_oks)
 
         if is_mesh:
             # Gaussian-sharded multi-chip step: per-gaussian leaves (params,
@@ -677,11 +695,15 @@ class Runner:
                 out_specs=(
                     leaf_spec(self.splats), leaf_spec(self.opt_states),
                     leaf_spec(self.strategy_state), P(), P(), P(), P(), P(),
+                    P(),
                 ),
                 check_vma=False,
             )
             return jax.jit(sharded, donate_argnums=(0, 1))
 
+        # Non-donating variant for the one-retry skip probe: re-dispatching
+        # a step must not invalidate (donate) the live training state.
+        self._probe_step = jax.jit(train_chunk)
         return jax.jit(train_chunk, donate_argnums=(0, 1))
 
     def _device_trainset(self):
@@ -719,6 +741,74 @@ class Runner:
         cap = self.splats["means"].shape[0]
         base = self.cfg.isect_capacity or max(cap * 4, 1 << 20)
         return base * getattr(self, "_isect_cap_scale", 1)
+
+    def _grad_leaf_names(self):
+        """Names for the gate's ``leaf_oks`` vector (loss first, then the
+        leaves of (param_grads, sim_grads, aux_grads) in tree order —
+        the same structure as (splats, sim_params, aux_params))."""
+        sim_params = (
+            self.sim_params if self.compression_sim is not None else None
+        )
+        tpl = (self.splats, sim_params, self.aux_params)
+        paths = jax.tree_util.tree_flatten_with_path(tpl)[0]
+        return ["loss"] + [
+            jax.tree_util.keystr(p) for p, _ in paths
+        ]
+
+    def _fingerprint_skips(self, step0, skips, leaf_oks, losses,
+                           sim_bundle, aux_bundle, data, idxs, keys,
+                           steps, lrs):
+        """Per-skip forensic record + one-retry probe (VERDICT r4 item 5).
+
+        For every rejected step in the chunk, records the global step,
+        in-chunk index, loss value, and WHICH leaves were non-finite to
+        ``result_dir/skips.jsonl``. Then re-dispatches the first failing
+        step once with the identical (batch, key, step, lr) against the
+        post-chunk state (the pre-step state was donated; for the
+        transient-vs-deterministic question a replay on nearby state is
+        the informative bit): a clean replay is the relay-transient
+        signature, a reproduced non-finite step is a deterministic bug.
+        """
+        names = self._grad_leaf_names()
+        bad_idx = np.nonzero(skips)[0]
+        rows = []
+        for i in bad_idx:
+            bad_leaves = [
+                names[j] for j in np.nonzero(~leaf_oks[i])[0]
+                if j < len(names)
+            ]
+            rows.append({
+                "global_step": int(step0 + i), "in_chunk": int(i),
+                "loss": float(losses[i]), "bad_leaves": bad_leaves,
+            })
+        probe_verdict = None
+        if getattr(self.cfg, "skip_probe", True) and self.mesh is None \
+                and getattr(self, "_probe_step", None) is not None:
+            i = int(bad_idx[0])
+            try:
+                out = self._probe_step(
+                    self.splats, self.opt_states, self.strategy_state,
+                    sim_bundle, aux_bundle, data, idxs[i:i + 1],
+                    keys[i:i + 1], steps[i:i + 1], lrs[i:i + 1],
+                )
+                reskipped = bool(np.asarray(out[7]).sum())
+                probe_verdict = (
+                    "REPRODUCED (deterministic bug candidate)"
+                    if reskipped else
+                    "clean on replay (transient signature)"
+                )
+            except Exception as e:  # probe is diagnostics; never fatal
+                probe_verdict = f"probe failed: {e!r}"
+            rows[0]["probe"] = probe_verdict
+        for r in rows:
+            print(f"  skip fingerprint: {json.dumps(r)}", flush=True)
+        try:
+            with open(os.path.join(self.cfg.result_dir, "skips.jsonl"),
+                      "a") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+        except OSError:
+            pass
 
     def _means_lr(self, step: int) -> float:
         base = PARAM_LRS["means"] * self.scene_scale * math.sqrt(
@@ -775,13 +865,14 @@ class Runner:
             aux_bundle = (self.aux_params, self.aux_opt_states)
             (self.splats, self.opt_states, self.strategy_state, sim_bundle,
              aux_bundle, chunk_losses, chunk_max_isects,
-             chunk_skips) = self._train_step(
+             chunk_skips, chunk_leaf_oks) = self._train_step(
                 self.splats, self.opt_states, self.strategy_state,
                 sim_bundle, aux_bundle, data, idxs, keys, steps, lrs,
             )
             self.aux_params, self.aux_opt_states = aux_bundle
             step += S
-            n_skip = int(chunk_skips)
+            skips_np = np.asarray(chunk_skips)
+            n_skip = int(skips_np.sum())
             if n_skip:
                 self._skipped_steps = getattr(
                     self, "_skipped_steps", 0
@@ -790,6 +881,11 @@ class Runner:
                     f"step {step}: {n_skip}/{S} steps REJECTED "
                     f"(non-finite loss/grads) — state carried unchanged "
                     f"({self._skipped_steps} total)", flush=True,
+                )
+                self._fingerprint_skips(
+                    step - S, skips_np, np.asarray(chunk_leaf_oks),
+                    np.asarray(chunk_losses), sim_bundle, aux_bundle,
+                    data, idxs, keys, steps, lrs,
                 )
 
             # Densification / relocation schedule (host-side decisions).
@@ -811,6 +907,25 @@ class Runner:
                 ):
                     (self.splats, self.opt_states,
                      self.strategy_state) = new_state
+                    # Capacity-utilization evidence (VERDICT r4 item 2):
+                    # allocated slots vs live (op > 0.005) right after the
+                    # relocation pass. Post-refine live must track
+                    # allocated closely; a persistent gap means relocation
+                    # is spawning dead slots.
+                    n_live = int(np.sum(
+                        1.0 / (1.0 + np.exp(-np.asarray(
+                            self.splats["opacities"]))) > 0.005))
+                    alloc = self.strategy_state.get("allocated")
+                    n_alloc = (int(np.sum(np.asarray(alloc)))
+                               if alloc is not None else n_live)
+                    self.logger.scalars(
+                        {"refine/allocated": n_alloc,
+                         "refine/live": n_live}, step)
+                    if step % (10 * strat.refine_every) == 0:
+                        print(f"step {step}: refine allocated={n_alloc} "
+                              f"live={n_live} "
+                              f"({n_live / max(n_alloc, 1):.0%})",
+                              flush=True)
                 else:
                     print(
                         f"step {step}: refine REJECTED (non-finite "
@@ -942,6 +1057,7 @@ class Runner:
                         K[None], width, height, sh_degree=None,
                         isect_capacity=isect_capacity,
                         rasterizer=cfg.rasterizer,
+                        tile_size=cfg.tile_size,
                     )
                     return jnp.clip(img[0], 0.0, 1.0)
             else:
@@ -958,6 +1074,7 @@ class Runner:
                         K[None], width, height, sh_degree=sh_degree,
                         isect_capacity=isect_capacity,
                         rasterizer=cfg.rasterizer,
+                        tile_size=cfg.tile_size,
                     )
                     return jnp.clip(img[0], 0.0, 1.0)
 

@@ -92,15 +92,20 @@ class Runner2DGS(Runner):
             )
             # Finite-step gate (same policy as the base trainer): accept the
             # update only if the loss and every gradient element are finite.
-            ok = jnp.isfinite(loss)
-            for leaf in jax.tree_util.tree_leaves(param_grads):
-                ok &= jnp.all(jnp.isfinite(leaf))
+            # leaf_oks fingerprints which leaf failed (loss first; order =
+            # tree order of param_grads).
+            leaf_oks = jnp.stack(
+                [jnp.isfinite(loss)]
+                + [jnp.all(jnp.isfinite(leaf))
+                   for leaf in jax.tree_util.tree_leaves(param_grads)]
+            )
+            ok = jnp.all(leaf_oks)
             params, opt_states, strat_state = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old),
                 (params, opt_states, strat_state), state_in,
             )
             return (params, opt_states, strat_state, sim_bundle, loss,
-                    meta["n_isects"], ~ok)
+                    meta["n_isects"], ~ok, leaf_oks)
 
         def train_chunk(params, opt_states, strat_state, sim_bundle,
                         aux_bundle, data, idxs, keys, steps, means_lrs):
@@ -112,19 +117,20 @@ class Runner2DGS(Runner):
                 p, o, s, sb = carry
                 idx, key, step, lr = xs
                 batch = jax.tree_util.tree_map(lambda a: a[idx], data)
-                p, o, s, sb, loss, n_is, skipped = train_step(
+                p, o, s, sb, loss, n_is, skipped, leaf_oks = train_step(
                     p, o, s, sb, batch, key, step, lr
                 )
-                return (p, o, s, sb), (loss, n_is, skipped)
+                return (p, o, s, sb), (loss, n_is, skipped, leaf_oks)
 
             ((params, opt_states, strat_state, sim_bundle),
-             (losses, n_isects, skips)) = jax.lax.scan(
+             (losses, n_isects, skips, leaf_oks)) = jax.lax.scan(
                 body, (params, opt_states, strat_state, sim_bundle),
                 (idxs, keys, steps, means_lrs),
             )
             return (params, opt_states, strat_state, sim_bundle, aux_bundle,
-                    losses, jnp.max(n_isects), jnp.sum(skips))
+                    losses, jnp.max(n_isects), skips, leaf_oks)
 
+        self._probe_step = jax.jit(train_chunk)
         return jax.jit(train_chunk, donate_argnums=(0, 1))
 
     def _rasterizer_2dgs(self) -> str:
