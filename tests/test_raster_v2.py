@@ -124,6 +124,45 @@ def test_v2_attr_packed_close_to_exact(rng):
         )
 
 
+def test_v2_geom_u16_close_to_exact(rng):
+    """geom_dtype="u16" packs (x, y) into one fixed-point row (1/8 px):
+    forward must track f32 within the quantization-induced alpha noise
+    (a few 1e-2 max on px-scale splats) and gradients must stay finite
+    and directionally close. Opt-in perf knob; f32 stays the default."""
+    img_p, alp_p, img_ref, alp_ref, args, bg = _run_both(
+        rng, C=2, CH=3, geom_dtype="u16"
+    )
+    np.testing.assert_allclose(img_p, img_ref, rtol=0, atol=8e-2)
+    np.testing.assert_allclose(alp_p, alp_ref, rtol=0, atol=8e-2)
+
+    W, H = 48, 32
+    depths, radii = args[4], args[5]
+    tgt = jnp.asarray(
+        np.random.default_rng(7).random(np.asarray(img_p).shape, np.float32)
+    )
+
+    def loss(geom_dtype):
+        def f(means2d, conics, colors, opacities):
+            img, alp, _ = rasterize_to_pixels_v2(
+                means2d, conics, colors, opacities, depths, radii, W, H,
+                tile_size=16, isect_capacity=8192, backgrounds=bg,
+                geom_dtype=geom_dtype,
+            )
+            return jnp.sum((img - tgt) ** 2) + 0.3 * jnp.sum(alp**2)
+        return f
+
+    gv = jax.grad(loss("u16"), argnums=(0, 1, 2, 3))(*args[:4])
+    gr = jax.grad(loss("f32"), argnums=(0, 1, 2, 3))(*args[:4])
+    for name, a, b in zip(["means2d", "conics", "colors", "opacities"],
+                          gv, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a)), name
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(
+            a / scale, b / scale, rtol=0, atol=1e-1, err_msg=name
+        )
+
+
 @pytest.mark.parametrize("cutoff", ["exact", "soft"])
 def test_v2_log_composite_matches(rng, cutoff):
     """log-space MXU transmittance must match the roll-multiply scan to
