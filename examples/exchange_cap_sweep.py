@@ -99,20 +99,27 @@ def main():
         )
         return jnp.clip(img, 0.0, 1.0)
 
-    # uncapped reference renders per destination group
-    full = []
-    for dg in range(G):
-        cams = slice(dg * Cl, min((dg + 1) * Cl, C))
-        full.append(np.asarray(render(
-            vms[cams], Ks[cams], jnp.ones((N,), jnp.float32))))
+    # uncapped reference renders per destination group. With C < G the
+    # trailing groups own no cameras (slice is empty -> a 0-camera render
+    # would crash the binning); skip them everywhere.
+    def group_cams(dg):
+        return slice(dg * Cl, min((dg + 1) * Cl, C))
+
+    live_groups = [dg for dg in range(G)
+                   if group_cams(dg).stop > group_cams(dg).start]
+    full = {}
+    for dg in live_groups:
+        cams = group_cams(dg)
+        full[dg] = np.asarray(render(
+            vms[cams], Ks[cams], jnp.ones((N,), jnp.float32)))
 
     rows = []
     for cap in args.caps:
         t0 = time.time()
         keep = np.zeros((G, N), bool)  # [dest, gaussian]
         dropped_visible = 0
-        for dg in range(G):
-            cams = slice(dg * Cl, min((dg + 1) * Cl, C))
+        for dg in live_groups:
+            cams = group_cams(dg)
             vis = (radii[cams] > 0).any(axis=0)  # [N]
             for sg in range(G):
                 sl = slice(sg * Nl, min((sg + 1) * Nl, N))
@@ -125,8 +132,8 @@ def main():
                 keep[dg, sl] = k & v
                 dropped_visible += int(v.sum() - (k & v).sum())
         psnrs = []
-        for dg in range(G):
-            cams = slice(dg * Cl, min((dg + 1) * Cl, C))
+        for dg in live_groups:
+            cams = group_cams(dg)
             img = np.asarray(render(
                 vms[cams], Ks[cams],
                 jnp.asarray(keep[dg].astype(np.float32))))
