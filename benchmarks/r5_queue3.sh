@@ -1,0 +1,21 @@
+#!/bin/bash
+# Round-5 queue, part 3: the headline quality run — full-res garden
+# ladder, cap 360k, 8k steps, compression sim + PNG codec round trip,
+# with the round-5 MCMC relocation fix and skip fingerprinting live.
+# Round 4's identical recipe plateaued at 20.88 dB with ~55% dead
+# capacity; the fix must move this materially (VERDICT r5 item 1 "Done"
+# = >=28-30 dB or a named root cause).
+set -x
+cd "$(dirname "$0")/.."
+mkdir -p results/r5_evidence
+[ -n "$1" ] || { echo "usage: $0 <pid-to-wait-for>"; exit 1; }
+while kill -0 "$1" 2>/dev/null; do sleep 10; done
+
+timeout 14400 python examples/garden_benchmark.py --n_views 49 \
+  --width 1297 --height 840 --steps 8000 --cap 360000 \
+  --init_pts 100000 --compression_sim --rd_lambda 0.01 \
+  --result_dir results/garden_ladder_r5 \
+  > results/r5_evidence/garden_ladder_r5.log 2>&1
+tail -5 results/r5_evidence/garden_ladder_r5.log
+
+echo "=== queue3 done ==="
