@@ -25,10 +25,18 @@ def main():
 
     import os as _os
 
-    if _os.environ.get("JAX_PLATFORMS"):  # honor JAX_PLATFORMS (axon relay)
-        import jax
+    # Default to CPU: nothing in compress/decompress needs the TPU, and
+    # the eval renders are small (33k-splat frames at ~QVGA). Two rounds
+    # in a row the TPU leg hung mid-run on a relay device-to-host
+    # transfer (r4: killed by timeout after "loaded 12 frames"; r5:
+    # blocked in wait_woken at ~0% CPU after decoding one frame) — the
+    # ladder must not depend on relay health. Set JAX_PLATFORMS=tpu
+    # explicitly to override.
+    import jax
 
-        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    jax.config.update(
+        "jax_platforms", _os.environ.get("JAX_PLATFORMS") or "cpu"
+    )
     p = argparse.ArgumentParser()
     p.add_argument("--ply_dir", required=True,
                    help="directory of frame_*.ply (tracked sequence)")
