@@ -777,9 +777,12 @@ class Runner:
                 names[j] for j in np.nonzero(~leaf_oks[i])[0]
                 if j < len(names)
             ]
+            lv = float(losses[i])
             rows.append({
                 "global_step": int(step0 + i), "in_chunk": int(i),
-                "loss": float(losses[i]), "bad_leaves": bad_leaves,
+                # non-finite floats are invalid JSON — stringify them
+                "loss": lv if math.isfinite(lv) else repr(lv),
+                "bad_leaves": bad_leaves,
             })
         probe_verdict = None
         if getattr(self.cfg, "skip_probe", True) and self.mesh is None \
