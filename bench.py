@@ -66,10 +66,37 @@ def main():
     from gscodec_studio_tpu.utils.profiling import honest_timer
 
     width, height = 1297, 840
-    isect_capacity = 5 << 20  # ~1.2x the scene's 4.19M intersections
+    tile = int(os.environ.get("GSC_BENCH_TILE", "16"))
     means, quats, scales, opacities, colors, viewmats, Ks = make_scene(
         width=width, height=height
     )
+    if int(os.environ.get("GSC_BENCH_AUTO_CAP", "0")):
+        # Pipeline cost scales with the STATIC intersection capacity, not
+        # the actual row count — a tile-size sweep at fixed capacity would
+        # measure nothing. Probe the actual elliptical-binned volume at
+        # this tile size and size the capacity ~1.2x over it.
+        from gscodec_studio_tpu.ops.projection import fully_fused_projection
+        from gscodec_studio_tpu.ops.raster_v2 import tile_counts
+
+        @jax.jit
+        def count():
+            radii, means2d, _, _, _ = fully_fused_projection(
+                means, None, quats, scales, viewmats, Ks, width, height,
+                opacities=opacities, elliptical=True,
+            )
+            tw, th = -(-width // tile), -(-height // tile)
+            _, _, _, cnts = tile_counts(means2d, radii, tile, tw, th)
+            return jnp.sum(cnts)
+
+        n_rows = int(count())
+        isect_capacity = int(n_rows * 1.2)
+        print(json.dumps({"probe": "auto_cap", "tile_size": tile,
+                          "binned_rows": n_rows,
+                          "isect_capacity": isect_capacity}))
+    else:
+        isect_capacity = int(os.environ.get(
+            "GSC_BENCH_ISECT_CAP", str(5 << 20)
+        ))  # default ~1.2x the ts=16 scene's 4.19M intersections
 
     def body(c, means, quats, scales, opacities, colors, viewmats, Ks):
         def loss_fn(means):
@@ -86,7 +113,7 @@ def main():
                 attr_dtype=os.environ.get("GSC_BENCH_ATTR_DTYPE", "bf16"),
                 log_composite=bool(int(os.environ.get(
                     "GSC_BENCH_LOG_COMPOSITE", "1"))),
-                tile_size=int(os.environ.get("GSC_BENCH_TILE", "16")),
+                tile_size=tile,
                 geom_dtype=os.environ.get("GSC_BENCH_GEOM_DTYPE", "f32"),
             )
             return jnp.mean((img - 0.5) ** 2) + 0.1 * jnp.mean(alpha)
@@ -117,8 +144,7 @@ def main():
                         "GSC_BENCH_ATTR_DTYPE", "bf16"),
                     "log_composite": bool(int(os.environ.get(
                         "GSC_BENCH_LOG_COMPOSITE", "1"))),
-                    "tile_size": int(os.environ.get(
-                        "GSC_BENCH_TILE", "16")),
+                    "tile_size": tile,
                     "geom_dtype": os.environ.get(
                         "GSC_BENCH_GEOM_DTYPE", "f32"),
                 },

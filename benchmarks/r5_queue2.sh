@@ -30,8 +30,8 @@ tail -2 results/r5_evidence/selffit_sfm_mcmc_sim.log
 echo "=== bench sweep: tile_size x geom_dtype (packed fast config) ==="
 for TS in 16 24 32; do
   for GD in f32 u16; do
-    GSC_BENCH_TILE=$TS GSC_BENCH_GEOM_DTYPE=$GD timeout 1200 \
-      python bench.py \
+    GSC_BENCH_TILE=$TS GSC_BENCH_GEOM_DTYPE=$GD GSC_BENCH_AUTO_CAP=1 \
+      timeout 1200 python bench.py \
       >> results/r5_evidence/bench_sweep.jsonl 2>/dev/null
   done
 done
