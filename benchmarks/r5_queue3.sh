@@ -11,6 +11,15 @@ mkdir -p results/r5_evidence
 [ -n "$1" ] || { echo "usage: $0 <pid-to-wait-for>"; exit 1; }
 while kill -0 "$1" 2>/dev/null; do sleep 10; done
 
+echo "=== finer exchange-cap sweep (the 8192..65536 range dropped 0 rows;"
+echo "    locate the knee) ==="
+timeout 1200 python examples/exchange_cap_sweep.py \
+  --splats results/garden_ladder_r4/cap_360000/ckpts/ckpt_4000.npz \
+  --caps 1024 2048 4096 8192 \
+  --out results/r5_evidence/exchange_cap_sweep_fine.json --n_views 8 \
+  > results/r5_evidence/exchange_sweep_fine.log 2>&1
+tail -5 results/r5_evidence/exchange_sweep_fine.log
+
 timeout 14400 python examples/garden_benchmark.py --n_views 49 \
   --width 1297 --height 840 --steps 8000 --cap 360000 \
   --init_pts 100000 --compression_sim --rd_lambda 0.01 \
