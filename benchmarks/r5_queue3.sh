@@ -23,6 +23,7 @@ tail -5 results/r5_evidence/exchange_sweep_fine.log
 timeout 14400 python examples/garden_benchmark.py --n_views 49 \
   --width 1297 --height 840 --steps 8000 --cap 360000 \
   --init_pts 100000 --compression_sim --rd_lambda 0.01 \
+  --grad_dtype f32 \
   --result_dir results/garden_ladder_r5 \
   > results/r5_evidence/garden_ladder_r5.log 2>&1
 tail -5 results/r5_evidence/garden_ladder_r5.log
