@@ -65,6 +65,14 @@ def main():
         qp = RATE_POINTS[rp]
         out = os.path.join(args.output_dir, rp)
         codec = SeqCodec(qp=qp, all_intra=args.all_intra)
+        # the rate-point dir may hold artifacts of an earlier run (the
+        # decoded/ plys of a killed round-4 leg inflated rp0's size by
+        # 27 MB) — start from a clean dir so compressed_size measures
+        # only this run's bitstream
+        import shutil
+
+        if os.path.isdir(out):
+            shutil.rmtree(out)
         codec.compress(out, frames)
         size = compressed_size(out)
         decoded = codec.decompress(out)

@@ -165,7 +165,18 @@ class SeqCodec:
                             )
                         )
             else:
-                q = np.round(norm * 255).astype(np.uint8)
+                # Under hevc, qp is the real rate knob (x265). Under the
+                # pngseq fallback (no ffmpeg in this image) PNG is
+                # lossless, so qp would be a NO-OP and every "rate point"
+                # would decode identically (observed: rp0/rp2 PSNR equal
+                # to 1e-6) — map qp onto the attribute bit depth instead
+                # so the ladder actually trades rate for quality:
+                # qp 30/25/20/15 -> 4/5/6/8 bits.
+                bits = 8
+                if backend == "pngseq":
+                    bits = int(np.clip(round((42 - self.qp) / 3.4), 4, 8))
+                m["bits"] = bits
+                q = np.round(norm * (2 ** bits - 1)).astype(np.uint8)
                 for d in range(D):
                     m["files"].append(
                         _write_video(
@@ -205,10 +216,11 @@ class SeqCodec:
                                      backend, (T, s1, s2)).astype(np.uint16)
                     chans.append(((up << 8) | lo).astype(np.float32) / 65535.0)
             else:
+                denom = float(2 ** m["bits"] - 1)
                 for d in range(D):
                     v = _read_video(compress_dir, m["files"][d], backend,
                                     (T, s1, s2))
-                    chans.append(v.astype(np.float32) / 255.0)
+                    chans.append(v.astype(np.float32) / denom)
             video = np.stack(chans, -1) * scale + mins
             if name == "means":
                 video = np.asarray(inverse_log_transform(video))
