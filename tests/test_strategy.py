@@ -104,6 +104,29 @@ def test_mcmc_strategy_refine(splats):
     assert float(jnp.min(jnp.where(s["allocated"], op, 1.0))) > 0.004
 
 
+def test_relocation_never_births_dead(splats):
+    """Reference parity (gsplat/strategy/ops.py:294): the split opacity
+    1-(1-o)^(1/n) of a source NEAR the death threshold falls below it —
+    the clamp at min_opacity must keep every relocated slot alive, or the
+    pair is re-relocated every refine (round 4's churn signature)."""
+    from gscodec_studio_tpu.strategy.ops import relocate_dead
+
+    cap = splats["means"].shape[0]
+    # all live sources barely above the threshold: op ~ 0.006
+    logit = float(np.log(0.006 / (1 - 0.006)))
+    params = dict(splats)
+    params["opacities"] = jnp.full((cap,), logit, jnp.float32)
+    dead = jnp.arange(cap) >= cap // 2  # relocate half onto the rest
+    _, opt_states = build_splat_optimizers(splats)[0],         build_splat_optimizers(splats)[1]
+    out, _ = relocate_dead(
+        params, build_splat_optimizers(splats)[1],
+        jax.random.PRNGKey(0), dead, 0.005,
+    )
+    op = np.asarray(jax.nn.sigmoid(out["opacities"]))
+    # every touched slot (sources and clones) is alive
+    assert op.min() >= 0.005 - 1e-6, op.min()
+
+
 def test_mcmc_noise_injection(splats):
     strat = MCMCStrategy()
     p2 = strat.inject_noise(splats, jax.random.PRNGKey(0), lr=1e-4)
