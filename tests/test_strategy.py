@@ -117,10 +117,9 @@ def test_relocation_never_births_dead(splats):
     params = dict(splats)
     params["opacities"] = jnp.full((cap,), logit, jnp.float32)
     dead = jnp.arange(cap) >= cap // 2  # relocate half onto the rest
-    _, opt_states = build_splat_optimizers(splats)[0],         build_splat_optimizers(splats)[1]
+    _, opt_states = build_splat_optimizers(splats)
     out, _ = relocate_dead(
-        params, build_splat_optimizers(splats)[1],
-        jax.random.PRNGKey(0), dead, 0.005,
+        params, opt_states, jax.random.PRNGKey(0), dead, 0.005,
     )
     op = np.asarray(jax.nn.sigmoid(out["opacities"]))
     # every touched slot (sources and clones) is alive
