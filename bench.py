@@ -7,6 +7,14 @@ scene at 171.8 fwd / 97.1 bwd FPS (docs/source/tests/profile.rst:49-60) at
 1297x840 -> combined fwd+bwd 62.0 FPS = 67.6 Mpix/s. vs_baseline is our
 combined-Mpix/s divided by that.
 
+Default config (round-5 hardware sweep, results/r5_evidence/
+bench_sweep.jsonl): tile_size=32 (fewer binned rows for large splats;
+16/24/32 measured 11.06/12.92/13.31 Mpix/s), capacity right-sized to
+1.2x the probed elliptical-binned row count (the static capacity is
+what the pipeline pays for — the trainer sizes its buffer adaptively
+the same way), packed bf16 payloads + MXU log-composite. Every knob is
+env-overridable and echoed in the output config.
+
 Timing methodology: this remote-TPU relay reports async completion
 unreliably and adds a fixed dispatch tax after any device-to-host transfer,
 so we measure per-iteration time by K-step scan differencing with a forced
@@ -66,11 +74,11 @@ def main():
     from gscodec_studio_tpu.utils.profiling import honest_timer
 
     width, height = 1297, 840
-    tile = int(os.environ.get("GSC_BENCH_TILE", "16"))
+    tile = int(os.environ.get("GSC_BENCH_TILE", "32"))
     means, quats, scales, opacities, colors, viewmats, Ks = make_scene(
         width=width, height=height
     )
-    if int(os.environ.get("GSC_BENCH_AUTO_CAP", "0")):
+    if int(os.environ.get("GSC_BENCH_AUTO_CAP", "1")):
         # Pipeline cost scales with the STATIC intersection capacity, not
         # the actual row count — a tile-size sweep at fixed capacity would
         # measure nothing. Probe the actual elliptical-binned volume at
@@ -90,9 +98,13 @@ def main():
 
         n_rows = int(count())
         isect_capacity = int(n_rows * 1.2)
+        import sys
+
+        # diagnostics go to stderr: stdout carries exactly ONE JSON line
         print(json.dumps({"probe": "auto_cap", "tile_size": tile,
                           "binned_rows": n_rows,
-                          "isect_capacity": isect_capacity}))
+                          "isect_capacity": isect_capacity}),
+              file=sys.stderr)
     else:
         isect_capacity = int(os.environ.get(
             "GSC_BENCH_ISECT_CAP", str(5 << 20)
@@ -147,6 +159,7 @@ def main():
                     "tile_size": tile,
                     "geom_dtype": os.environ.get(
                         "GSC_BENCH_GEOM_DTYPE", "f32"),
+                    "isect_capacity": isect_capacity,
                 },
             }
         )
