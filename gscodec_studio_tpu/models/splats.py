@@ -119,13 +119,25 @@ PARAM_LRS = {
 }
 
 
+LOG_SCALE_FLOOR = -15.0  # exp(-15) ~ 3e-7 scene units: invisibly
+# sub-pixel at any working distance. Round-5 forensics: scale_reg's
+# always-positive gradient decays every render-unconstrained axis at
+# constant Adam rate (~5e-3 logit/step), and by step 4000 of the 8k
+# garden ladder ALL 360k splats carried a collapsed axis (log-scale
+# -38, anisotropy up to 1e16), which drove reproducible non-finite
+# means/quats/scales gradients (results/garden_ladder_r5/skips.jsonl).
+# Flooring INSIDE the activation both keeps degenerate needles out of
+# the projection/raster grad chain and zeroes the pointless decay
+# gradient below the floor (clip has zero grad there).
+
+
 def splat_activations(splats: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
     """(means, quats, exp(scales), sigmoid(opacities)) — the linear-domain
     arrays the renderer consumes (simple_trainer.py:752-762)."""
     return (
         splats["means"],
         splats["quats"],
-        jnp.exp(splats["scales"]),
+        jnp.exp(jnp.maximum(splats["scales"], LOG_SCALE_FLOOR)),
         jax.nn.sigmoid(splats["opacities"]),
     )
 
