@@ -289,9 +289,13 @@ def _pack_u16_xy(x, y):
 
 
 def _unpack_u16_xy(p):
+    # Mosaic has no uint32 -> f32 cast; both halves fit int32 exactly
+    # (<= 65535), so hop through int32.
     up = jax.lax.bitcast_convert_type(p, jnp.uint32)
-    x = (up >> 16).astype(jnp.float32) / GEOM_SCALE - GEOM_OFF
-    y = (up & jnp.uint32(0xFFFF)).astype(jnp.float32) / GEOM_SCALE - GEOM_OFF
+    xi = (up >> 16).astype(jnp.int32)
+    yi = (up & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    x = xi.astype(jnp.float32) / GEOM_SCALE - GEOM_OFF
+    y = yi.astype(jnp.float32) / GEOM_SCALE - GEOM_OFF
     return x, y
 
 
